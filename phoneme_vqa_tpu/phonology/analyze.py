@@ -135,6 +135,19 @@ def split_phoneme(word: str):
     return onset, medial, nucleus, coda
 
 
+def split_rhyme(rhyme: str, q_onset: bool = False):
+    """Split rhyme text back into (medial, nucleus, coda). After a "q" onset
+    the leading "u" is always the medial glide (get_medial can't see the
+    onset, so the caller passes ``q_onset``)."""
+    if q_onset and rhyme.startswith("u"):
+        medial, rest = "u", rhyme[1:]
+    else:
+        medial, rest = get_medial(rhyme)
+    nucleus, rest = get_nucleus(rest)
+    coda = get_coda(rest)
+    return medial, nucleus, coda
+
+
 def get_rhyme(word: str) -> str:
     """medial+nucleus+coda of a (possibly toned) word
     (`core/tokenizer/modules/word_processing.py:93-108`)."""
