@@ -1,0 +1,3 @@
+from .greedy import greedy_decode
+
+__all__ = ["greedy_decode"]

@@ -1,0 +1,409 @@
+"""T5 encoder-decoder in flax.linen, built for TPU decode.
+
+Architectural contract (what the reference gets from HF `transformers.models.t5`
+via `T5ForConditionalGeneration` — `/root/reference/core/model/LaTr.py:47` —
+and its fork `T52DStack`/`T52dForConditionalGeneration` which accepts an
+externally injected encoder position bias —
+`/root/reference/core/model/modules/SaL_utils.py:226-598`):
+
+* RMS layer norm (no mean subtraction, no bias), pre-norm residual blocks
+* relative position bias computed once per stack and shared by every layer;
+  encoder bias may be *injected* by the caller (the SaL 2D spatial bias)
+* no attention logit scaling (folded into init, T5 convention)
+* optional gated-gelu or relu feed-forward
+* tied or untied lm head (tied heads scale hidden by d_model**-0.5)
+
+TPU-native design decisions (not in the reference):
+* decoding uses an explicit functional KV cache threaded through
+  `decode_step` so the whole autoregressive loop lives inside one
+  `lax.while_loop` under jit — no per-step host round trips
+* cross-attention K/V are projected once per sequence in `init_cache`
+  (HF re-checks per step)
+* all shapes static; masks are boolean key masks folded in at f32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from ..ops.rel_bias import relative_position_bucket
+
+Cache = List[Dict[str, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 768
+    d_kv: int = 64
+    num_heads: int = 12
+    d_ff: int = 2048
+    num_layers: int = 12
+    num_decoder_layers: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "gated-gelu"  # or "relu"
+    tie_word_embeddings: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+    dtype: Any = jnp.bfloat16
+
+    def replace(self, **kw) -> "T5Config":
+        return dataclasses.replace(self, **kw)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        x32 = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        return (weight * x32).astype(self.dtype)
+
+
+class T5FFN(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        dense = lambda feat, name: nn.Dense(
+            feat, use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
+        )
+        if cfg.feed_forward_proj == "gated-gelu":
+            gate = jax.nn.gelu(dense(cfg.d_ff, "wi_0")(x), approximate=True)
+            x = gate * dense(cfg.d_ff, "wi_1")(x)
+        else:
+            x = jax.nn.relu(dense(cfg.d_ff, "wi")(x))
+        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        return dense(cfg.d_model, "wo")(x)
+
+
+class T5Attention(nn.Module):
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        inner = cfg.num_heads * cfg.d_kv
+        mk = lambda feat, name: nn.Dense(
+            feat, use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
+        )
+        self.q = mk(inner, "q")
+        self.k = mk(inner, "k")
+        self.v = mk(inner, "v")
+        self.o = mk(cfg.d_model, "o")
+
+    def _split(self, x):  # (B, L, H*D) -> (B, H, L, D)
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.cfg.num_heads, self.cfg.d_kv).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):  # (B, H, L, D) -> (B, L, H*D)
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_source: Optional[jnp.ndarray] = None,
+        key_mask: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+    ) -> jnp.ndarray:
+        kv_source = x if kv_source is None else kv_source
+        q = self._split(self.q(x))
+        k = self._split(self.k(kv_source))
+        v = self._split(self.v(kv_source))
+        out = dot_product_attention(q, k, v, bias=bias, key_mask=key_mask, causal=causal)
+        return self.o(self._merge(out))
+
+    # -- incremental decode -------------------------------------------------
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project K/V once for a full sequence (cross-attn cache)."""
+        return self._split(self.k(x)), self._split(self.v(x))
+
+    def step(
+        self,
+        x: jnp.ndarray,  # (B, 1, D) current token hidden
+        cache_k: jnp.ndarray,  # (B, H, T, d) — mutated via dynamic_update
+        cache_v: jnp.ndarray,
+        index: jnp.ndarray,  # scalar int32: current position
+        bias_row: Optional[jnp.ndarray] = None,  # (1, H, 1, T)
+        key_mask: Optional[jnp.ndarray] = None,  # (B, T) valid-position mask
+    ):
+        q = self._split(self.q(x))  # (B, H, 1, d)
+        k_new = self._split(self.k(x))
+        v_new = self._split(self.v(x))
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, index, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, index, 0))
+        t = cache_k.shape[2]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        valid = (pos <= index)
+        mask = valid if key_mask is None else (valid & key_mask)
+        out = dot_product_attention(q, cache_k, cache_v, bias=bias_row, key_mask=mask)
+        return self.o(self._merge(out)), cache_k, cache_v
+
+    def cross_step(
+        self,
+        x: jnp.ndarray,  # (B, 1, D)
+        cached_k: jnp.ndarray,  # (B, H, Lenc, d) — static
+        cached_v: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,  # (B, Lenc)
+    ):
+        q = self._split(self.q(x))
+        out = dot_product_attention(q, cached_k, cached_v, key_mask=key_mask)
+        return self.o(self._merge(out))
+
+
+class RelativeBias(nn.Module):
+    cfg: T5Config
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int) -> jnp.ndarray:
+        cfg = self.cfg
+        ctx = jnp.arange(qlen)[:, None]
+        mem = jnp.arange(klen)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx,
+            bidirectional=self.bidirectional,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        table = nn.Embed(
+            cfg.relative_attention_num_buckets,
+            cfg.num_heads,
+            param_dtype=jnp.float32,
+            name="rel_embedding",
+        )
+        return table(buckets).transpose(2, 0, 1)[None]  # (1, H, q, k)
+
+
+class T5EncoderBlock(nn.Module):
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.ln0 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln0")
+        self.attn = T5Attention(cfg, name="attn")
+        self.ln1 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln1")
+        self.ffn = T5FFN(cfg, name="ffn")
+
+    def __call__(self, x, key_mask, bias, deterministic: bool = True):
+        x = x + self.attn(self.ln0(x), key_mask=key_mask, bias=bias)
+        x = x + self.ffn(self.ln1(x), deterministic=deterministic)
+        return x
+
+
+class T5Encoder(nn.Module):
+    """Encoder stack over pre-computed input embeddings.
+
+    ``position_bias`` may be injected (SaL's 2D bias) — this is the
+    TPU-native equivalent of the reference's `T52DStack`
+    (`SaL_utils.py:296-501`); when None the standard T5 1D relative bias is
+    computed internally.
+    """
+
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.rel_bias = RelativeBias(cfg, bidirectional=True, name="rel_bias")
+        self.blocks = [
+            T5EncoderBlock(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
+        ]
+        self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, L, D)
+        attention_mask: Optional[jnp.ndarray] = None,  # (B, L) 1 = keep
+        position_bias: Optional[jnp.ndarray] = None,  # (B|1, H, L, L)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        l = inputs_embeds.shape[1]
+        bias = self.rel_bias(l, l) if position_bias is None else position_bias
+        key_mask = None if attention_mask is None else attention_mask.astype(bool)
+        x = inputs_embeds.astype(self.cfg.dtype)
+        for block in self.blocks:
+            x = block(x, key_mask, bias, deterministic)
+        return self.final_ln(x)
+
+
+class T5DecoderBlock(nn.Module):
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.ln0 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln0")
+        self.self_attn = T5Attention(cfg, name="self_attn")
+        self.ln1 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln1")
+        self.cross_attn = T5Attention(cfg, name="cross_attn")
+        self.ln2 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln2")
+        self.ffn = T5FFN(cfg, name="ffn")
+
+    def __call__(self, x, enc_out, enc_mask, self_mask, bias, deterministic=True):
+        x = x + self.self_attn(self.ln0(x), key_mask=self_mask, bias=bias, causal=True)
+        x = x + self.cross_attn(self.ln1(x), kv_source=enc_out, key_mask=enc_mask)
+        x = x + self.ffn(self.ln2(x), deterministic=deterministic)
+        return x
+
+    def step(self, x, cache, index, bias_row, enc_mask, self_key_mask=None):
+        h, ck, cv = self.self_attn.step(
+            self.ln0(x), cache["k"], cache["v"], index, bias_row, self_key_mask
+        )
+        x = x + h
+        x = x + self.cross_attn.cross_step(self.ln1(x), cache["ck"], cache["cv"], enc_mask)
+        x = x + self.ffn(self.ln2(x))
+        new_cache = dict(cache, k=ck, v=cv)
+        return x, new_cache
+
+
+class T5Decoder(nn.Module):
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.rel_bias = RelativeBias(cfg, bidirectional=False, name="rel_bias")
+        self.blocks = [
+            T5DecoderBlock(cfg, name=f"block_{i}")
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")
+
+    def __call__(
+        self,
+        dec_embeds: jnp.ndarray,  # (B, T, D)
+        enc_out: jnp.ndarray,
+        enc_mask: Optional[jnp.ndarray] = None,
+        dec_mask: Optional[jnp.ndarray] = None,  # (B, T) 1 = real token
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        t = dec_embeds.shape[1]
+        bias = self.rel_bias(t, t)
+        enc_mask = None if enc_mask is None else enc_mask.astype(bool)
+        dec_mask = None if dec_mask is None else dec_mask.astype(bool)
+        x = dec_embeds.astype(self.cfg.dtype)
+        for block in self.blocks:
+            x = block(x, enc_out, enc_mask, dec_mask, bias, deterministic)
+        return self.final_ln(x)
+
+    # -- incremental decode --------------------------------------------------
+
+    def init_cache(self, enc_out: jnp.ndarray, max_len: int) -> Tuple[Cache, jnp.ndarray]:
+        """Allocate self-attn cache and precompute cross-attn K/V + the full
+        decoder relative bias table (sliced per step)."""
+        cfg = self.cfg
+        b = enc_out.shape[0]
+        cache: Cache = []
+        for block in self.blocks:
+            ck, cv = block.cross_attn.project_kv(enc_out)
+            cache.append(
+                {
+                    "k": jnp.zeros((b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype),
+                    "v": jnp.zeros((b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype),
+                    "ck": ck,
+                    "cv": cv,
+                }
+            )
+        full_bias = self.rel_bias(max_len, max_len)  # (1, H, T, T)
+        return cache, full_bias
+
+    def step(
+        self,
+        tok_embed: jnp.ndarray,  # (B, 1, D)
+        cache: Cache,
+        index: jnp.ndarray,  # scalar
+        full_bias: jnp.ndarray,  # (1, H, T, T)
+        enc_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Cache]:
+        t = full_bias.shape[-1]
+        bias_row = jax.lax.dynamic_slice(
+            full_bias, (0, 0, index, 0), (1, full_bias.shape[1], 1, t)
+        )
+        enc_mask = None if enc_mask is None else enc_mask.astype(bool)
+        x = tok_embed.astype(self.cfg.dtype)
+        new_cache: Cache = []
+        for block, layer_cache in zip(self.blocks, cache):
+            x, updated = block.step(x, layer_cache, index, bias_row, enc_mask)
+            new_cache.append(updated)
+        return self.final_ln(x), new_cache
+
+
+class T5(nn.Module):
+    """Full encoder-decoder with shared token embedding and LM head."""
+
+    cfg: T5Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.shared = nn.Embed(
+            cfg.vocab_size, cfg.d_model, param_dtype=jnp.float32, name="shared"
+        )
+        self.encoder = T5Encoder(cfg, name="encoder")
+        self.decoder = T5Decoder(cfg, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="lm_head",
+            )
+
+    def __call__(self, inputs_embeds, dec_ids, enc_mask=None, dec_mask=None,
+                 position_bias=None, deterministic: bool = True):
+        """Teacher-forced encoder-decoder forward -> (B, T, V) f32 logits.
+        (Also the init path that materializes the full parameter tree.)"""
+        enc_out = self.encode(inputs_embeds, enc_mask, position_bias, deterministic)
+        return self.decode(dec_ids, enc_out, enc_mask, dec_mask, deterministic)
+
+    def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.shared(ids).astype(self.cfg.dtype)
+
+    def encode(self, inputs_embeds, attention_mask=None, position_bias=None,
+               deterministic: bool = True):
+        return self.encoder(inputs_embeds, attention_mask, position_bias, deterministic)
+
+    def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model**-0.5)
+            logits = jnp.einsum(
+                "btd,vd->btv",
+                hidden,
+                self.shared.embedding.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits
+
+    def decode(self, dec_ids, enc_out, enc_mask=None, dec_mask=None,
+               deterministic: bool = True):
+        """Teacher-forced decode: returns (B, T, V) f32 logits."""
+        hidden = self.decoder(
+            self.embed(dec_ids), enc_out, enc_mask, dec_mask, deterministic
+        )
+        return self.lm_logits(hidden)
+
+    def init_cache(self, enc_out, max_len: int):
+        return self.decoder.init_cache(enc_out, max_len)
+
+    def decode_step(self, token_ids, cache, index, full_bias, enc_mask=None):
+        """One decode step: token_ids (B,) -> ((B, V) f32 logits, new cache)."""
+        tok = self.embed(token_ids[:, None])
+        hidden, cache = self.decoder.step(tok, cache, index, full_bias, enc_mask)
+        return self.lm_logits(hidden)[:, 0], cache

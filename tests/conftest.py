@@ -18,6 +18,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start (overriding JAX_PLATFORMS) — every op would round-trip the TPU
+# tunnel. Flip back to the virtual 8-device CPU mesh for tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_ROOT = "/root/reference"
 
 
