@@ -42,13 +42,42 @@ class LaTr_config:
     `LaTr_config.build`, `/root/reference/core/model/LaTr.py:5-12`)."""
 
     def build(self, config) -> LaTrConfig:
-        t5 = T5Config(dtype=_dtype_of(config))
-        vit = ViTConfig(dtype=_dtype_of(config))
         return LaTrConfig(
-            t5=t5,
-            vit=vit,
+            t5=t5_config_from_yaml(config),
+            vit=vit_config_from_yaml(config),
             max_2d_position_embeddings=config.get("max_2d_position_embeddings", 1024),
         )
+
+
+def t5_config_from_yaml(config) -> T5Config:
+    """Backbone dims. Defaults are vit5-base (the reference's
+    ``backbone_name: VietAI/vit5-base``); YAML keys override so tiny test
+    configs and offline runs need no HF AutoConfig."""
+    return T5Config(
+        vocab_size=config.get("t5_vocab_size", 36096),
+        d_model=config.get("d_model", 768),
+        d_kv=config.get("d_kv", 64),
+        num_heads=config.get("num_heads", 12),
+        d_ff=config.get("d_ff", 3072),
+        num_layers=config.get("num_encoder_layers", 12),
+        num_decoder_layers=config.get("num_t5_decoder_layers", 12),
+        feed_forward_proj=config.get("feed_forward_proj", "gated-gelu"),
+        tie_word_embeddings=config.get("tie_word_embeddings", True),
+        dropout_rate=config.get("dropout_rate", 0.1),
+        dtype=_dtype_of(config),
+    )
+
+
+def vit_config_from_yaml(config) -> ViTConfig:
+    return ViTConfig(
+        image_size=config.get("vit_image_size", 224),
+        patch_size=config.get("vit_patch_size", 16),
+        hidden_size=config.get("vit_hidden_size", 768),
+        num_layers=config.get("vit_num_layers", 12),
+        num_heads=config.get("vit_num_heads", 12),
+        mlp_dim=config.get("vit_mlp_dim", 3072),
+        dtype=_dtype_of(config),
+    )
 
 
 def _dtype_of(config) -> Any:

@@ -1,0 +1,13 @@
+"""Import every module that registers executors/models/datasets/tokenizers.
+
+Importing this module populates the string-keyed registries used by run.py
+(the dict-registry equivalent of the reference's
+`core/executor/__init__.py` re-export + getattr dispatch, which — note —
+ships broken for PhonemePreSTU: `/root/reference/core/executor/__init__.py:10`
+imports a dataset instead of the executor, making that mode unlaunchable).
+"""
+
+from . import tokenizers  # noqa: F401
+from .data import latr as _latr_data  # noqa: F401
+from .models import latr as _latr_model  # noqa: F401
+from .train import latr_executor as _latr_exec  # noqa: F401

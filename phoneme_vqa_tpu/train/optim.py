@@ -1,0 +1,77 @@
+"""Optimizers, schedules, loss.
+
+Reference training properties
+(`/root/reference/core/executor/base_executor.py:167-170`): Adam(LR, BETAS,
+eps=1e-9) + CE(ignore_index=pad) + a 0.95**epoch LR decay; the Customized/
+Phoneme executors use LinearLR warmup over ``warmup_step`` steps and freeze
+the encoder for ``NUM_FREEZE_EPOCH`` epochs
+(`CustomizedLaTr_Executor.py:151-158,245`).
+
+Note: the reference calls its "per-epoch" LambdaLR scheduler once per
+*training step* (`LaTr_Executor.py:167`), collapsing the LR after a few
+hundred steps. We implement the intended per-epoch decay; the schedule is a
+function of (step, steps_per_epoch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def epoch_decay_schedule(base_lr: float, steps_per_epoch: int, gamma: float = 0.95):
+    def schedule(step):
+        epoch = step // max(1, steps_per_epoch)
+        return base_lr * gamma**epoch
+
+    return schedule
+
+
+def linear_warmup_schedule(base_lr: float, warmup_steps: int):
+    """torch LinearLR(total_iters=warmup) equivalent: ramps from
+    base_lr/3 (torch's default start_factor) to base_lr."""
+
+    def schedule(step):
+        frac = jnp.minimum(step / max(1, warmup_steps), 1.0)
+        return base_lr * (1.0 / 3.0 + (1.0 - 1.0 / 3.0) * frac)
+
+    return schedule
+
+
+def build_optimizer(
+    lr_schedule: Callable,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    freeze_predicate: Optional[Callable[[tuple], bool]] = None,
+):
+    """Adam with schedule; optionally zero updates for frozen subtrees
+    (optax.masked equivalent of the reference's requires_grad freeze)."""
+    tx = optax.adam(lr_schedule, b1=betas[0], b2=betas[1], eps=eps)
+    if freeze_predicate is None:
+        return tx
+
+    def label_tree(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        labels = {}
+        for path, _ in flat:
+            labels[path] = "frozen" if freeze_predicate(path) else "train"
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [labels[p] for p, _ in flat],
+        )
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label_tree
+    )
+
+
+def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int):
+    """Token-mean CE over non-pad targets (torch CrossEntropyLoss
+    ignore_index semantics). logits (..., V) f32, targets (...) int."""
+    mask = (targets != pad_id).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)

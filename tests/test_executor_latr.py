@@ -1,0 +1,72 @@
+"""End-to-end LaTr executor: train 1 epoch -> eval -> predict on synthetic
+fixtures (the integration test the reference never had; SURVEY §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("latr_fixture")
+    paths = make_latr_fixture(root)
+    save_path = str(root / "ckpts")
+    yaml_path = tiny_latr_yaml(paths, save_path, NUM_EPOCHS=2)
+    config = get_config(yaml_path)
+    executor = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    executor.run()
+    return config, yaml_path, save_path
+
+
+def test_train_saves_checkpoints(trained):
+    _, _, save_path = trained
+    assert os.path.isdir(os.path.join(save_path, "last_ckp"))
+    assert os.path.isdir(os.path.join(save_path, "best_ckp"))
+
+
+def test_eval_mode(trained):
+    config, _, _ = trained
+    executor = EXECUTORS.get(config.EXECUTOR)(config, mode="eval", evaltype="last")
+    scores = executor.run()
+    assert set(scores) == {"F1", "Accuracy", "CIDEr", "ROUGE", "BLEU"}
+    assert 0.0 <= scores["Accuracy"] <= 1.0
+
+
+def test_predict_mode_writes_results(trained):
+    config, _, save_path = trained
+    executor = EXECUTORS.get(config.EXECUTOR)(
+        config, mode="predict", predicttype="best"
+    )
+    results = executor.run()
+    out = os.path.join(save_path, "results.json")
+    assert os.path.isfile(out)
+    data = json.load(open(out, encoding="utf-8"))
+    assert len(data) == 6
+    assert set(data[0]) == {"gens", "gts"}
+
+
+def test_resume_from_last(trained):
+    """Re-instantiating the train executor resumes from last_ckp."""
+    config, _, _ = trained
+    executor = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    assert int(executor.state.epoch) == 2
+    assert executor.best_score >= 0.0
+
+
+def test_training_reduces_loss(tmp_path):
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck2"), NUM_EPOCHS=1, LR=3e-3)
+    config = get_config(yaml_path)
+    executor = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    losses = []
+    for epoch in range(1, 4):
+        losses.append(executor._train_epoch(epoch))
+    assert losses[-1] < losses[0], losses
