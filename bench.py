@@ -1,0 +1,163 @@
+"""Headline benchmark: LaTr-base eval greedy decode throughput.
+
+Metric (BASELINE.json): QA samples/sec/chip for LaTr eval decode at the
+reference's shapes (ViT-base 224px -> 197 patches, OCR 100, question 30,
+max_eval_length 20, EVAL_BATCH_SIZE 32), vs the PyTorch-CPU reference
+implementation (HF ViTModel + T5ForConditionalGeneration.generate with
+inputs_embeds fusion, per `/root/reference/core/model/LaTr.py:85-110`),
+both at random-init base scale.
+
+Prints ONE JSON line on stdout; details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 32
+L_OCR = 100
+L_Q = 30
+MAX_EVAL_LEN = 20
+VOCAB = 36096
+IMG = 224
+
+CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(b: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    return {
+        "pixel_values": rng.randn(b, 3, IMG, IMG).astype(np.float32),
+        "coordinates": rng.randint(0, 1000, (b, L_OCR, 6)).astype(np.int32),
+        "input_ids": rng.randint(3, VOCAB, (b, L_Q)).astype(np.int32),
+        "src_attention_mask": np.ones((b, L_Q), np.int32),
+        "ocr_attention_mask": np.ones((b, L_OCR), np.int32),
+        "tokenized_ocr": rng.randint(3, VOCAB, (b, L_OCR)).astype(np.int32),
+    }
+
+
+def bench_tpu() -> tuple[float, float]:
+    import jax
+
+    from phoneme_vqa_tpu.config import Config
+    from phoneme_vqa_tpu.models.latr import LaTr, LaTr_config, make_generate_fn
+
+    cfg = LaTr_config().build(Config({"t5_vocab_size": VOCAB, "DTYPE": "bfloat16"}))
+    model = LaTr(cfg)
+    batch = make_batch(BATCH)
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.perf_counter()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {k: v[:1] for k, v in batch.items()},
+        np.zeros((1, 2), np.int32),
+        np.ones((1, 2), np.int32),
+    )["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    log(f"init: {time.perf_counter() - t0:.1f}s, params {n_params / 1e6:.0f}M")
+
+    generate = jax.jit(make_generate_fn(model, MAX_EVAL_LEN))
+    t0 = time.perf_counter()
+    out = generate(params, batch)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = generate(params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    throughput = BATCH * iters / dt
+    p50_latency_ms = dt / iters / BATCH * 1000
+    log(f"TPU: {throughput:.1f} samples/s, {p50_latency_ms:.2f} ms/answer")
+    return throughput, p50_latency_ms
+
+
+def bench_cpu_reference() -> float:
+    """The PyTorch reference decode path on CPU (cached across rounds —
+    the reference doesn't change)."""
+    if os.path.isfile(CPU_BASELINE_CACHE):
+        cached = json.load(open(CPU_BASELINE_CACHE))
+        log(f"cpu baseline (cached): {cached['samples_per_sec']:.2f} samples/s")
+        return cached["samples_per_sec"]
+
+    import torch
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+
+    torch.manual_seed(0)
+    t5 = T5ForConditionalGeneration(
+        HFT5Config(
+            vocab_size=VOCAB, d_model=768, d_kv=64, num_heads=12, d_ff=3072,
+            num_layers=12, num_decoder_layers=12, feed_forward_proj="gated-gelu",
+            decoder_start_token_id=0,
+        )
+    ).eval()
+    vit = ViTModel(HFViTConfig(), add_pooling_layer=False).eval()
+    proj = torch.nn.Linear(768, 768)
+    spatial = torch.nn.ModuleList(
+        [torch.nn.Embedding(1024, 768) for _ in range(6)]
+    )
+
+    b = 8  # smaller batch; throughput scales ~linearly on CPU
+    batch = make_batch(b, seed=1)
+    pix = torch.tensor(batch["pixel_values"])
+    coords = torch.tensor(batch["coordinates"], dtype=torch.long)
+    q_ids = torch.tensor(batch["input_ids"], dtype=torch.long)
+    ocr_ids = torch.tensor(batch["tokenized_ocr"], dtype=torch.long)
+    q_mask = torch.tensor(batch["src_attention_mask"], dtype=torch.long)
+    ocr_mask = torch.tensor(batch["ocr_attention_mask"], dtype=torch.long)
+
+    with torch.no_grad():
+        # warmup/trace
+        t0 = time.perf_counter()
+        img = proj(vit(pix).last_hidden_state)
+        layout = t5.shared(ocr_ids) + sum(
+            emb(coords[:, :, i]) for i, emb in enumerate(spatial)
+        )
+        lang = t5.shared(q_ids)
+        fused = torch.cat([img, layout, lang], dim=1)
+        mask = torch.cat([torch.ones(img.shape[:2], dtype=torch.long), ocr_mask, q_mask], dim=1)
+        t5.generate(
+            inputs_embeds=fused, attention_mask=mask, max_length=MAX_EVAL_LEN
+        )
+        dt = time.perf_counter() - t0
+    samples_per_sec = b / dt
+    log(f"cpu reference: {samples_per_sec:.2f} samples/s ({dt:.1f}s / {b})")
+    json.dump({"samples_per_sec": samples_per_sec}, open(CPU_BASELINE_CACHE, "w"))
+    return samples_per_sec
+
+
+def main():
+    throughput, p50 = bench_tpu()
+    try:
+        baseline = bench_cpu_reference()
+        vs = throughput / baseline
+    except Exception as e:  # torch/HF hiccup must not kill the bench line
+        log(f"cpu baseline failed: {e}")
+        vs = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "latr_eval_decode_samples_per_sec_per_chip",
+                "value": round(throughput, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

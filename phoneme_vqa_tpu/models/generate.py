@@ -1,0 +1,63 @@
+"""Generic jittable greedy generation over any fusion model.
+
+Every model in the framework exposes the same three-method surface:
+``fuse(batch)`` (modality fusion), ``encode_for_generate(batch, max_len)``
+(encoder + decode-cache init) and ``decode_step(tokens, cache, i, ...)``.
+This wraps them into one whole-sequence greedy program (encoder + KV-cached
+`lax.while_loop`) compiled as a single XLA executable.
+"""
+
+from __future__ import annotations
+
+from ..decode.greedy import greedy_decode, multi_head_greedy_decode
+
+
+def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=None):
+    t5c = model.cfg.t5
+    bos = t5c.decoder_start_token_id if bos_id is None else bos_id
+    eos = t5c.eos_token_id if eos_id is None else eos_id
+    pad = t5c.pad_token_id if pad_id is None else pad_id
+
+    def generate(params, batch):
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+
+        def step(tokens, cache, i):
+            return model.apply(
+                {"params": params}, tokens, cache, i, full_bias, enc_mask,
+                method=type(model).decode_step,
+            )
+
+        batch_size = enc_mask.shape[0]
+        return greedy_decode(step, cache, batch_size, max_length, bos, eos, pad)
+
+    return generate
+
+
+def make_multi_head_generate_fn(
+    model, max_length: int, num_components: int, bos_id: int, eos_id: int,
+    pad_id: int, stop_component: int = 0,
+):
+    """Greedy generation over component-tuple streams (phoneme triples)."""
+
+    def generate(params, batch):
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+
+        def step(tokens, cache, i):
+            return model.apply(
+                {"params": params}, tokens, cache, i, full_bias, enc_mask,
+                method=type(model).decode_step,
+            )
+
+        batch_size = enc_mask.shape[0]
+        return multi_head_greedy_decode(
+            step, cache, batch_size, max_length, num_components, bos_id,
+            eos_id, pad_id, stop_component,
+        )
+
+    return generate

@@ -3,17 +3,19 @@
 Contract (`/root/reference/core/model/LaTr.py:42-110`): encoder input is
 ``concat([ViT(img)->proj, T5-embed(ocr) + SpatialModule(coords),
 T5-embed(question)])`` with mask ``[ones(img), ocr_mask, src_mask]``; a full
-T5 decoder + lm_head over the fused encoding; greedy generation.
+T5 decoder + lm_head over the fused encoding; greedy generation. The
+reference freezes the whole ViT (`LaTr.py:54-56`) — here via stop_gradient.
 
-TPU-native: one jitted ``generate`` containing encoder + KV-cached
-`lax.while_loop` greedy decode; ViT frozen via `stop_gradient` (the
-reference freezes all ViT parameters, `LaTr.py:54-56`).
+Uniform model surface (shared by every family in this framework):
+``__call__(batch, labels, label_mask)`` for the teacher-forced train
+forward, ``fuse(batch)``, ``encode_for_generate(batch, max_len)`` and
+``decode_step(...)`` for the jitted whole-sequence greedy program.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
@@ -36,17 +38,9 @@ class LaTrConfig:
         return dataclasses.replace(self, **kw)
 
 
-@MODEL_CONFIGS.register("LaTr_config")
-class LaTr_config:
-    """Builds a LaTrConfig from a YAML Config (same role as the reference's
-    `LaTr_config.build`, `/root/reference/core/model/LaTr.py:5-12`)."""
-
-    def build(self, config) -> LaTrConfig:
-        return LaTrConfig(
-            t5=t5_config_from_yaml(config),
-            vit=vit_config_from_yaml(config),
-            max_2d_position_embeddings=config.get("max_2d_position_embeddings", 1024),
-        )
+def _dtype_of(config) -> Any:
+    name = str(config.get("DTYPE", "bfloat16"))
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
 def t5_config_from_yaml(config) -> T5Config:
@@ -80,13 +74,52 @@ def vit_config_from_yaml(config) -> ViTConfig:
     )
 
 
-def _dtype_of(config) -> Any:
-    name = str(config.get("DTYPE", "bfloat16"))
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+@MODEL_CONFIGS.register("LaTr_config")
+class LaTr_config:
+    """YAML Config -> LaTrConfig (role of the reference's `LaTr_config.build`,
+    `/root/reference/core/model/LaTr.py:5-12`)."""
+
+    def build(self, config) -> LaTrConfig:
+        return LaTrConfig(
+            t5=t5_config_from_yaml(config),
+            vit=vit_config_from_yaml(config),
+            max_2d_position_embeddings=config.get("max_2d_position_embeddings", 1024),
+        )
+
+
+class FusionModel(nn.Module):
+    """Shared skeleton: fuse modalities -> T5 encode -> T5 decode/generate."""
+
+    cfg: LaTrConfig
+
+    def _vit_features(self, pixel_values):
+        img_feat = self.vit(pixel_values)
+        if self.cfg.freeze_vit:
+            img_feat = jax.lax.stop_gradient(img_feat)
+        return self.visual_projector(img_feat)
+
+    def fuse(self, batch: Dict[str, jnp.ndarray]):
+        raise NotImplementedError
+
+    def __call__(self, batch, labels, label_mask, deterministic: bool = True):
+        embeds, enc_mask = self.fuse(batch)
+        enc_out = self.t5.encode(embeds, enc_mask, deterministic=deterministic)
+        return self.t5.decode(
+            labels, enc_out, enc_mask, label_mask, deterministic=deterministic
+        )
+
+    def encode_for_generate(self, batch, max_length: int):
+        embeds, enc_mask = self.fuse(batch)
+        enc_out = self.t5.encode(embeds, enc_mask)
+        cache, full_bias = self.t5.init_cache(enc_out, max_length)
+        return cache, full_bias, enc_mask
+
+    def decode_step(self, tokens, cache, index, full_bias, enc_mask):
+        return self.t5.decode_step(tokens, cache, index, full_bias, enc_mask)
 
 
 @MODELS.register("LaTr")
-class LaTr(nn.Module):
+class LaTr(FusionModel):
     cfg: LaTrConfig
 
     def setup(self):
@@ -105,118 +138,27 @@ class LaTr(nn.Module):
             name="spatial",
         )
 
-    # -- fusion ---------------------------------------------------------------
-
-    def calculate_embedding(
-        self,
-        pixel_values: jnp.ndarray,  # (B, C, H, W)
-        coordinates: jnp.ndarray,  # (B, L_ocr, 6) int
-        input_ids: jnp.ndarray,  # (B, L_q) question ids
-        ocr_attention_mask: jnp.ndarray,  # (B, L_ocr)
-        src_attention_mask: jnp.ndarray,  # (B, L_q)
-        tokenized_ocr: jnp.ndarray,  # (B, L_ocr)
-    ):
-        img_feat = self.vit(pixel_values)
-        if self.cfg.freeze_vit:
-            img_feat = jax.lax.stop_gradient(img_feat)
-        img_feat = self.visual_projector(img_feat)
-        layout_feat = self.t5.embed(tokenized_ocr) + self.spatial(coordinates)
-        lang_feat = self.t5.embed(input_ids)
+    def fuse(self, batch):
+        """[ViT patches | OCR embed + spatial | question] (LaTr.py:85-97)."""
+        img_feat = self._vit_features(batch["pixel_values"])
+        layout_feat = self.t5.embed(batch["tokenized_ocr"]) + self.spatial(
+            batch["coordinates"]
+        )
+        lang_feat = self.t5.embed(batch["input_ids"])
         embeds = jnp.concatenate([img_feat, layout_feat, lang_feat], axis=1)
         mask = jnp.concatenate(
             [
                 jnp.ones(img_feat.shape[:2], jnp.int32),
-                ocr_attention_mask.astype(jnp.int32),
-                src_attention_mask.astype(jnp.int32),
+                batch["ocr_attention_mask"].astype(jnp.int32),
+                batch["src_attention_mask"].astype(jnp.int32),
             ],
             axis=1,
         )
         return embeds, mask
 
-    # -- training forward -------------------------------------------------------
 
-    def __call__(
-        self,
-        pixel_values,
-        coordinates,
-        input_ids,
-        labels,  # (B, T) decoder input ids (already shifted: "<pad> answer")
-        src_attention_mask,
-        label_attention_mask,
-        ocr_attention_mask,
-        tokenized_ocr,
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
-        embeds, enc_mask = self.calculate_embedding(
-            pixel_values, coordinates, input_ids, ocr_attention_mask,
-            src_attention_mask, tokenized_ocr,
-        )
-        enc_out = self.t5.encode(embeds, enc_mask, deterministic=deterministic)
-        return self.t5.decode(
-            labels, enc_out, enc_mask, label_attention_mask, deterministic=deterministic
-        )
+# backwards-compat alias for the generic generate builder
+def make_generate_fn(model, max_length: int):
+    from .generate import make_generate_fn as _mk
 
-    # -- generation -------------------------------------------------------------
-
-    def encode_for_generate(
-        self, pixel_values, coordinates, input_ids, src_attention_mask,
-        ocr_attention_mask, tokenized_ocr, max_length: int,
-    ):
-        embeds, enc_mask = self.calculate_embedding(
-            pixel_values, coordinates, input_ids, ocr_attention_mask,
-            src_attention_mask, tokenized_ocr,
-        )
-        enc_out = self.t5.encode(embeds, enc_mask)
-        cache, full_bias = self.t5.init_cache(enc_out, max_length)
-        return cache, full_bias, enc_mask
-
-    def decode_step(self, tokens, cache, index, full_bias, enc_mask):
-        return self.t5.decode_step(tokens, cache, index, full_bias, enc_mask)
-
-
-def make_generate_fn(model: LaTr, max_length: int):
-    """Builds a jittable greedy generate over a feature batch.
-
-    Equivalent surface to the reference's `LaTr.generate`
-    (`/root/reference/core/model/LaTr.py:99-110`), but the whole encoder +
-    decode loop compiles to a single XLA program.
-    """
-    from ..decode.greedy import greedy_decode
-
-    t5c = model.cfg.t5
-
-    def generate(params, batch):
-        cache, full_bias, enc_mask = model.apply(
-            {"params": params},
-            batch["pixel_values"],
-            batch["coordinates"],
-            batch["input_ids"],
-            batch["src_attention_mask"],
-            batch["ocr_attention_mask"],
-            batch["tokenized_ocr"],
-            max_length,
-            method=LaTr.encode_for_generate,
-        )
-
-        def step(tokens, cache, i):
-            return model.apply(
-                {"params": params},
-                tokens,
-                cache,
-                i,
-                full_bias,
-                enc_mask,
-                method=LaTr.decode_step,
-            )
-
-        return greedy_decode(
-            step,
-            cache,
-            batch_size=batch["input_ids"].shape[0],
-            max_length=max_length,
-            bos_id=t5c.decoder_start_token_id,
-            eos_id=t5c.eos_token_id,
-            pad_id=t5c.pad_token_id,
-        )
-
-    return generate
+    return _mk(model, max_length)

@@ -9,5 +9,8 @@ imports a dataset instead of the executor, making that mode unlaunchable).
 
 from . import tokenizers  # noqa: F401
 from .data import latr as _latr_data  # noqa: F401
+from .data import prestu as _prestu_data  # noqa: F401
 from .models import latr as _latr_model  # noqa: F401
+from .models import prestu as _prestu_model  # noqa: F401
 from .train import latr_executor as _latr_exec  # noqa: F401
+from .train import prestu_executor as _prestu_exec  # noqa: F401

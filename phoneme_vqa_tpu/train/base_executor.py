@@ -225,7 +225,123 @@ class BaseExecutor:
         self.state = self.state.replace(params=params)
         self.best_score = float(restored["best_score"])
 
+    # -- generic train/infer machinery (uniform batch-dict model surface) --------
+
+    BATCH_KEYS: tuple = ()
+
+    def _model_batch(self, batch: dict) -> dict:
+        return {k: batch[k] for k in self.BATCH_KEYS}
+
+    def _init_params(self):
+        import jax as _jax
+
+        dummy = self._dummy_batch()
+        labels = np.zeros((1, 2), np.int32)
+        params = self.model.init(
+            _jax.random.PRNGKey(self.config.get("SEED", 13)),
+            dummy,
+            labels,
+            np.ones_like(labels),
+        )["params"]
+        n = sum(x.size for x in jax.tree.leaves(params))
+        log.info(f"# Model parameters: {n / 1e6:.1f}M")
+        return params
+
+    def _loss_from_batch(self, params, batch):
+        from .optim import cross_entropy_loss
+
+        labels = batch["label_ids"]
+        label_mask = batch["label_attention_mask"]
+        logits = self.model.apply(
+            {"params": params},
+            self._model_batch(batch),
+            labels[:, :-1],
+            label_mask[:, :-1],
+        )
+        return cross_entropy_loss(logits, labels[:, 1:], self._loss_pad_id())
+
+    def _loss_pad_id(self) -> int:
+        return self.tokenizer.pad_token_id
+
+    def _make_train_step(self):
+        import functools
+
+        import optax
+
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            loss, grads = jax.value_and_grad(self._loss_from_batch)(
+                state.params, batch
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                ),
+                loss,
+            )
+
+        return step
+
+    def _train_epoch(self, epoch: int) -> float:
+        from ..data.loader import batch_iterator, num_batches
+
+        c = self.config
+        total, it = 0.0, 0
+        n_steps = num_batches(len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True)
+        for batch, _ in batch_iterator(
+            self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
+            seed=c.get("SEED", 13) + epoch, drop_last=True,
+        ):
+            self.state, loss = self.train_step(self.state, self._shard(batch))
+            total += float(loss)
+            it += 1
+            if it == 1 or it % 20 == 0 or it == n_steps:
+                log.info(
+                    f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
+                    f"| Loss: {round(total / it, 2)}"
+                )
+        return total / max(it, 1)
+
+    def _build_generate_fn(self, max_length: int):
+        from ..models.generate import make_generate_fn
+
+        return jax.jit(make_generate_fn(self.model, max_length))
+
+    def _get_generate_fn(self, max_length: int):
+        if max_length not in self._generate_fns:
+            self._generate_fns[max_length] = self._build_generate_fn(max_length)
+        return self._generate_fns[max_length]
+
+    def infer(self, dataset, batch_size: int, max_length: int) -> List[str]:
+        from ..data.loader import batch_iterator
+
+        generate = self._get_generate_fn(max_length)
+        out_rows: List = []
+        for batch, n_valid in batch_iterator(dataset, batch_size, pad_final=True):
+            ids = generate(self.state.params, self._shard(self._model_batch(batch)))
+            out_rows.extend(np.asarray(ids)[:n_valid].tolist())
+        return self._decode_rows(out_rows)
+
+    def _decode_rows(self, rows) -> List[str]:
+        """Cut [start, ..., eos] -> tokens between, then detokenize
+        (reference: base_executor.py:233-241)."""
+        eos = self.tokenizer.eos_token_id
+        cut = []
+        for row in rows:
+            try:
+                cut.append(row[1 : row.index(eos)])
+            except ValueError:
+                cut.append(row)
+        return self.tokenizer.batch_decode(cut, skip_special_tokens=True)
+
     # -- helpers ------------------------------------------------------------------
+
+    def _dummy_batch(self) -> dict:
+        raise NotImplementedError
 
     def _shard(self, batch: dict) -> dict:
         return shard_batch(self.mesh, batch)

@@ -149,31 +149,32 @@ def test_latr_forward_and_generate():
     batch = _latr_batch()
     labels = jnp.asarray([[0, 5, 6, 7], [0, 8, 9, 1]], jnp.int32)
     label_mask = jnp.ones_like(labels)
-    params = model.init(
-        jax.random.PRNGKey(0),
-        batch["pixel_values"],
-        batch["coordinates"],
-        batch["input_ids"],
-        labels,
-        batch["src_attention_mask"],
-        label_mask,
-        batch["ocr_attention_mask"],
-        batch["tokenized_ocr"],
-    )["params"]
-    logits = model.apply(
-        {"params": params},
-        batch["pixel_values"],
-        batch["coordinates"],
-        batch["input_ids"],
-        labels,
-        batch["src_attention_mask"],
-        label_mask,
-        batch["ocr_attention_mask"],
-        batch["tokenized_ocr"],
-    )
+    params = model.init(jax.random.PRNGKey(0), batch, labels, label_mask)["params"]
+    logits = model.apply({"params": params}, batch, labels, label_mask)
     assert logits.shape == (2, 4, TINY_T5.vocab_size)
 
     gen = jax.jit(make_generate_fn(model, max_length=6))
     out = gen(params, batch)
     assert out.shape == (2, 6)
     assert np.all(np.asarray(out[:, 0]) == TINY_T5.decoder_start_token_id)
+
+
+def test_prestu_forward_and_generate():
+    from phoneme_vqa_tpu.models.prestu import PreSTU
+
+    cfg = LaTrConfig(t5=TINY_T5, vit=TINY_VIT, freeze_vit=False)
+    model = PreSTU(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.randn(2, 3, 32, 32), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, 53, (2, 9)), jnp.int32),
+        "src_attention_mask": jnp.ones((2, 9), jnp.int32),
+    }
+    labels = jnp.asarray([[0, 5, 6], [0, 8, 1]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), batch, labels, jnp.ones_like(labels))[
+        "params"
+    ]
+    logits = model.apply({"params": params}, batch, labels, jnp.ones_like(labels))
+    assert logits.shape == (2, 3, TINY_T5.vocab_size)
+    out = jax.jit(make_generate_fn(model, max_length=5))(params, batch)
+    assert out.shape == (2, 5)
