@@ -1,0 +1,91 @@
+"""SaL 2D relative position bias: T5-1D sequence bias + SCP spatial bias.
+
+Contract (`/root/reference/core/model/modules/SaL_utils.py:24-223`):
+* 1D: T5-style bucketed sequence-distance bias over the full fused sequence.
+* SCP ("Spatial Circle Position"): OCR bbox centers are snapped to an 11x11
+  grid; the pairwise euclidean grid distance x5 is bucketed (bidirectional,
+  32 buckets, max_distance=100) and embedded; added ONLY to the OCR x OCR
+  block ``[max_ques : max_ques+max_ocr]²``.
+
+The reference computes SCP on numpy each batch — a device->host->device
+round trip inside forward (`SaL_utils.py:163-168`). Here the 11x11x11x11
+distance table is a compile-time constant and the lookup is one gather,
+fully on-device.
+
+Also fixed (documented divergence): the reference never folds the padding
+mask into the injected bias, so its SaL encoder attends to padding
+(HF T5Attention skips mask-addition when position_bias is supplied); our
+attention applies the key mask regardless.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rel_bias import relative_position_bucket
+
+GRID = 11
+
+
+def _grid_distance_table() -> np.ndarray:
+    """(121, 121) table: euclidean distance between grid cells x5, floored to
+    int (the reference casts the float table to long)."""
+    xs, ys = np.mgrid[0:GRID, 0:GRID]
+    cells = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64)
+    diff = cells[:, None, :] - cells[None, :, :]
+    return (np.sqrt((diff**2).sum(-1)) * 5).astype(np.int32)
+
+
+class Sal2DPositionBias(nn.Module):
+    num_heads: int
+    num_buckets: int = 32
+    max_distance_1d: int = 128
+    max_distance_scp: int = 100
+
+    @nn.compact
+    def __call__(
+        self,
+        seq_len: int,
+        ocr_coordinates: jnp.ndarray,  # (B, L_ocr, 4) float in [0, 1]
+        max_ques: int,
+        max_ocr: int,
+    ) -> jnp.ndarray:
+        """Returns (B, H, L, L) f32 additive bias."""
+        embed_1d = nn.Embed(
+            self.num_buckets, self.num_heads, param_dtype=jnp.float32, name="rel1d"
+        )
+        embed_scp = nn.Embed(
+            self.num_buckets, self.num_heads, param_dtype=jnp.float32, name="scp"
+        )
+
+        pos = jnp.arange(seq_len)
+        buckets_1d = relative_position_bucket(
+            pos[None, :] - pos[:, None],
+            bidirectional=True,
+            num_buckets=self.num_buckets,
+            max_distance=self.max_distance_1d,
+        )
+        bias_1d = embed_1d(buckets_1d).transpose(2, 0, 1)[None]  # (1, H, L, L)
+
+        # SCP over OCR bbox centers
+        cx = ocr_coordinates[..., (0, 2)].mean(-1)
+        cy = ocr_coordinates[..., (1, 3)].mean(-1)
+        ix = jnp.clip(jnp.floor(cx * GRID).astype(jnp.int32), 0, GRID - 1)
+        iy = jnp.clip(jnp.floor(cy * GRID).astype(jnp.int32), 0, GRID - 1)
+        cell = ix * GRID + iy  # (B, L_ocr)
+        table = jnp.asarray(_grid_distance_table())
+        dist = table[cell[:, :, None], cell[:, None, :]]  # (B, L_ocr, L_ocr)
+        buckets_scp = relative_position_bucket(
+            dist,
+            bidirectional=True,
+            num_buckets=self.num_buckets,
+            max_distance=self.max_distance_scp,
+        )
+        bias_scp = embed_scp(buckets_scp).transpose(0, 3, 1, 2)  # (B, H, Locr, Locr)
+
+        b = ocr_coordinates.shape[0]
+        bias = jnp.broadcast_to(bias_1d, (b,) + bias_1d.shape[1:])
+        sl = slice(max_ques, max_ques + max_ocr)
+        return bias.at[:, :, sl, sl].add(bias_scp)

@@ -14,3 +14,6 @@ from .models import latr as _latr_model  # noqa: F401
 from .models import prestu as _prestu_model  # noqa: F401
 from .train import latr_executor as _latr_exec  # noqa: F401
 from .train import prestu_executor as _prestu_exec  # noqa: F401
+from .data import sal as _sal_data  # noqa: F401
+from .models import sal as _sal_model  # noqa: F401
+from .train import sal_executor as _sal_exec  # noqa: F401
