@@ -1,0 +1,221 @@
+"""Customized answer decoder: post-LN transformer decoder over a T5 encoder.
+
+Contract (`/root/reference/core/model/CustomizedLaTr.py:45-272` and
+`core/model/modules/transformer_utils.py:6-64`): token embedding scaled by
+sqrt(d_model), sinusoidal positional encoding, a torch
+``nn.TransformerDecoder``-equivalent stack (post-LayerNorm residual blocks,
+scaled dot-product attention with projection biases, ReLU FFN of width 2048),
+and a Linear lm head onto the pluggable answer-tokenizer vocabulary.
+
+TPU-native: same explicit functional KV-cache as the T5 decoder, so
+generation runs as one `lax.while_loop` — the reference re-decodes the whole
+prefix every step with no cache (`CustomizedLaTr.py:146-184`), its single
+biggest inference defect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+
+Cache = List[Dict[str, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class CustomDecoderConfig:
+    vocab_size: int = 1000
+    d_model: int = 768
+    num_heads: int = 12
+    num_layers: int = 4
+    d_ff: int = 2048  # torch TransformerDecoderLayer default
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+    pad_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    dtype: Any = jnp.bfloat16
+
+
+def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
+    """Classic sin/cos PE (transformer_utils.py:6-25)."""
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    div = np.exp(-np.arange(0, d_model, 2) * (np.log(10000.0) / d_model))
+    table = np.zeros((max_len, d_model), np.float32)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return table
+
+
+class MHA(nn.Module):
+    """torch nn.MultiheadAttention equivalent (biased projections, scaled)."""
+
+    cfg: CustomDecoderConfig
+
+    def setup(self):
+        c = self.cfg
+        mk = lambda name: nn.Dense(
+            c.d_model, dtype=c.dtype, param_dtype=jnp.float32, name=name
+        )
+        self.q_proj, self.k_proj, self.v_proj, self.out = (
+            mk("q"), mk("k"), mk("v"), mk("out"),
+        )
+
+    def _split(self, x):
+        b, l, _ = x.shape
+        h = self.cfg.num_heads
+        return x.reshape(b, l, h, -1).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    def _scale(self):
+        return (self.cfg.d_model // self.cfg.num_heads) ** -0.5
+
+    def __call__(self, x, kv=None, key_mask=None, causal=False):
+        kv = x if kv is None else kv
+        out = dot_product_attention(
+            self._split(self.q_proj(x)),
+            self._split(self.k_proj(kv)),
+            self._split(self.v_proj(kv)),
+            key_mask=key_mask,
+            causal=causal,
+            scale=self._scale(),
+        )
+        return self.out(self._merge(out))
+
+    def project_kv(self, x):
+        return self._split(self.k_proj(x)), self._split(self.v_proj(x))
+
+    def step(self, x, cache_k, cache_v, index, key_mask=None):
+        q = self._split(self.q_proj(x))
+        k_new = self._split(self.k_proj(x))
+        v_new = self._split(self.v_proj(x))
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, index, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, index, 0))
+        t = cache_k.shape[2]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        mask = pos <= index
+        if key_mask is not None:
+            mask = mask & key_mask
+        out = dot_product_attention(
+            q, cache_k, cache_v, key_mask=mask, scale=self._scale()
+        )
+        return self.out(self._merge(out)), cache_k, cache_v
+
+    def cross_step(self, x, cached_k, cached_v, key_mask=None):
+        q = self._split(self.q_proj(x))
+        out = dot_product_attention(
+            q, cached_k, cached_v, key_mask=key_mask, scale=self._scale()
+        )
+        return self.out(self._merge(out))
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN: x = LN(x + sublayer(x)) (torch norm_first=False default)."""
+
+    cfg: CustomDecoderConfig
+
+    def setup(self):
+        c = self.cfg
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, dtype=c.dtype, param_dtype=jnp.float32, name=name
+        )
+        dense = lambda feat, name: nn.Dense(
+            feat, dtype=c.dtype, param_dtype=jnp.float32, name=name
+        )
+        self.self_attn = MHA(c, name="self_attn")
+        self.cross_attn = MHA(c, name="cross_attn")
+        self.ln1, self.ln2, self.ln3 = ln("ln1"), ln("ln2"), ln("ln3")
+        self.fc1 = dense(c.d_ff, "fc1")
+        self.fc2 = dense(c.d_model, "fc2")
+
+    def _ffn(self, x):
+        return self.fc2(jax.nn.relu(self.fc1(x)))
+
+    def __call__(self, x, memory, memory_mask=None, tgt_keep_mask=None):
+        x = self.ln1(x + self.self_attn(x, key_mask=tgt_keep_mask, causal=True))
+        x = self.ln2(x + self.cross_attn(x, kv=memory, key_mask=memory_mask))
+        return self.ln3(x + self._ffn(x))
+
+    def step(self, x, cache, index, memory_mask=None):
+        h, ck, cv = self.self_attn.step(x, cache["k"], cache["v"], index)
+        x = self.ln1(x + h)
+        x = self.ln2(x + self.cross_attn.cross_step(x, cache["ck"], cache["cv"], memory_mask))
+        x = self.ln3(x + self._ffn(x))
+        return x, dict(cache, k=ck, v=cv)
+
+
+class CustomDecoder(nn.Module):
+    """Scaled token embedding + sinusoidal PE + post-LN decoder stack +
+    lm head (the BaseDecoder/TokenEmbedding/SinusoidalPositionalEncoding
+    composite, transformer_utils.py:27-64)."""
+
+    cfg: CustomDecoderConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed = nn.Embed(
+            c.vocab_size, c.d_model, param_dtype=jnp.float32, name="embed"
+        )
+        self.layers = [
+            DecoderLayer(c, name=f"layer_{i}") for i in range(c.num_layers)
+        ]
+        self.lm_head = nn.Dense(
+            c.vocab_size, dtype=c.dtype, param_dtype=jnp.float32, name="lm_head"
+        )
+        self.pe = jnp.asarray(sinusoidal_table(c.max_len, c.d_model))
+
+    def _embed(self, ids, offset: int | jnp.ndarray = 0):
+        c = self.cfg
+        x = self.embed(ids) * np.sqrt(c.d_model)
+        t = ids.shape[1]
+        if isinstance(offset, int) and offset == 0:
+            pe = self.pe[:t]
+        else:
+            pe = jax.lax.dynamic_slice(self.pe, (offset, 0), (t, c.d_model))
+        return (x + pe[None]).astype(c.dtype)
+
+    def __call__(self, tgt_ids, memory, memory_mask=None, tgt_keep_mask=None):
+        """Teacher-forced: (B, T) ids -> (B, T, V) f32 logits."""
+        memory_mask = None if memory_mask is None else memory_mask.astype(bool)
+        tgt_keep_mask = None if tgt_keep_mask is None else tgt_keep_mask.astype(bool)
+        x = self._embed(tgt_ids)
+        for layer in self.layers:
+            x = layer(x, memory.astype(self.cfg.dtype), memory_mask, tgt_keep_mask)
+        return self.lm_head(x).astype(jnp.float32)
+
+    def init_cache(self, memory, max_len: int) -> Cache:
+        c = self.cfg
+        b = memory.shape[0]
+        dh = c.d_model // c.num_heads
+        cache: Cache = []
+        for layer in self.layers:
+            ck, cv = layer.cross_attn.project_kv(memory.astype(c.dtype))
+            cache.append(
+                {
+                    "k": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
+                    "v": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
+                    "ck": ck,
+                    "cv": cv,
+                }
+            )
+        return cache
+
+    def step(
+        self, tokens: jnp.ndarray, cache: Cache, index, memory_mask=None
+    ) -> Tuple[jnp.ndarray, Cache]:
+        memory_mask = None if memory_mask is None else memory_mask.astype(bool)
+        x = self._embed(tokens[:, None], offset=index)
+        new_cache: Cache = []
+        for layer, layer_cache in zip(self.layers, cache):
+            x, updated = layer.step(x, layer_cache, index, memory_mask)
+            new_cache.append(updated)
+        return self.lm_head(x).astype(jnp.float32)[:, 0], new_cache

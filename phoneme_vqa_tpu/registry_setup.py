@@ -17,3 +17,5 @@ from .train import prestu_executor as _prestu_exec  # noqa: F401
 from .data import sal as _sal_data  # noqa: F401
 from .models import sal as _sal_model  # noqa: F401
 from .train import sal_executor as _sal_exec  # noqa: F401
+from .models import customized as _customized_models  # noqa: F401
+from .train import customized_executor as _customized_exec  # noqa: F401
