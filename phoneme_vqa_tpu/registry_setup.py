@@ -19,3 +19,5 @@ from .models import sal as _sal_model  # noqa: F401
 from .train import sal_executor as _sal_exec  # noqa: F401
 from .models import customized as _customized_models  # noqa: F401
 from .train import customized_executor as _customized_exec  # noqa: F401
+from .models import phoneme as _phoneme_models  # noqa: F401
+from .train import phoneme_executor as _phoneme_exec  # noqa: F401
