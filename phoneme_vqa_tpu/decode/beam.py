@@ -1,0 +1,174 @@
+"""Batched beam search as one `lax.while_loop`, KV cache reordered in-loop.
+
+The reference's shipped beam searches are buggy (they decode from the greedy
+stream, `/root/reference/core/model/CustomizedLaTr.py:227`,
+`CustomizedSaL.py:294`); the intended semantics live in the PhonoLaTr
+prototype (`/root/reference/PhonoLaTr/ModelLaTr.py:260-388`): accumulate
+log-probs, keep `num_beam` hypotheses, finished beams persist, pick the
+best-scoring sequence. No length penalty (matching the prototype).
+
+For phoneme triples the joint next-token distribution is the outer sum of
+the three head log-softmaxes; instead of materializing the
+|onset|x|rhyme|x|tone| product space we take top-K per component and combine
+the K^3 cube — exact for the top-K of a sum of independent terms.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG = -1.0e9
+
+
+def _expand_to_beams(tree, k: int):
+    """Repeat every leaf along axis 0: (B, ...) -> (B*K, ...)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), tree)
+
+
+def _gather_beams(tree, beam_idx: jnp.ndarray, batch: int, k: int):
+    """Reorder beam-major leaves (B*K, ...) by per-batch beam indices (B, K)."""
+    flat_idx = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
+    return jax.tree.map(lambda x: x[flat_idx], tree)
+
+
+def beam_decode(
+    step_fn: Callable,  # (tokens (B*K,), cache, i) -> (logits (B*K, V), cache)
+    cache,
+    batch_size: int,
+    num_beams: int,
+    max_length: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+) -> jnp.ndarray:
+    """Returns the best sequence per batch row: (B, max_length) int32.
+    ``cache`` must already be expanded to B*K rows (see `_expand_to_beams`)."""
+    b, k = batch_size, num_beams
+    seqs = jnp.full((b, k, max_length), pad_id, jnp.int32).at[:, :, 0].set(bos_id)
+    scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
+    finished = jnp.zeros((b, k), bool)
+
+    def cond(state):
+        i, _, _, _, finished = state
+        return (i < max_length - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, seqs, scores, cache, finished = state
+        cur = lax.dynamic_slice(seqs, (0, 0, i), (b, k, 1)).reshape(b * k)
+        logits, cache = step_fn(cur, cache, i)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        logp = logp.reshape(b, k, v)
+        # finished beams may only emit pad at no cost
+        pad_only = jnp.full((v,), NEG, jnp.float32).at[pad_id].set(0.0)
+        logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
+
+        total = scores[:, :, None] + logp  # (B, K, V)
+        new_scores, flat_idx = lax.top_k(total.reshape(b, k * v), k)
+        beam_idx = flat_idx // v
+        token = (flat_idx % v).astype(jnp.int32)
+
+        seqs = jnp.take_along_axis(seqs, beam_idx[:, :, None], axis=1)
+        seqs = lax.dynamic_update_slice(seqs, token[:, :, None], (0, 0, i + 1))
+        finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (token == eos_id)
+        cache = _gather_beams(cache, beam_idx, b, k)
+        return i + 1, seqs, new_scores, cache, finished
+
+    _, seqs, scores, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), seqs, scores, cache, finished)
+    )
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+
+
+def multi_head_beam_decode(
+    step_fn,  # (tokens (B*K, C), cache, i) -> (C-tuple of (B*K, V_c), cache)
+    cache,
+    batch_size: int,
+    num_beams: int,
+    max_length: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    stop_component: int = 0,
+) -> jnp.ndarray:
+    """Joint-log-prob beam over component triples. Returns (B, T, C) int32."""
+    b, k = batch_size, num_beams
+    num_c = 3
+    seqs = jnp.full((b, k, max_length, num_c), pad_id, jnp.int32)
+    seqs = seqs.at[:, :, 0, :].set(bos_id)
+    scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
+    finished = jnp.zeros((b, k), bool)
+
+    def cond(state):
+        i, _, _, _, finished = state
+        return (i < max_length - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, seqs, scores, cache, finished = state
+        cur = lax.dynamic_slice(seqs, (0, 0, i, 0), (b, k, 1, num_c)).reshape(
+            b * k, num_c
+        )
+        logits_tuple, cache = step_fn(cur, cache, i)
+        # per-component top-k then exact K^3 cube combine
+        comp_scores = []
+        comp_tokens = []
+        for c, logits in enumerate(logits_tuple):
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(b, k, -1)
+            if c == stop_component:
+                pad_only = jnp.full((logp.shape[-1],), NEG).at[pad_id].set(0.0)
+                logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+            else:
+                # finished rows: other components emit pad at no extra cost
+                pad_only = jnp.full((logp.shape[-1],), NEG).at[pad_id].set(0.0)
+                logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+            s, t = lax.top_k(logp, k)  # (B, K, k)
+            comp_scores.append(s)
+            comp_tokens.append(t)
+
+        joint = (
+            comp_scores[0][:, :, :, None, None]
+            + comp_scores[1][:, :, None, :, None]
+            + comp_scores[2][:, :, None, None, :]
+        )  # (B, K, k, k, k)
+        total = scores[:, :, None, None, None] + joint
+        flat = total.reshape(b, k * k * k * k)
+        new_scores, flat_idx = lax.top_k(flat, k)
+
+        beam_idx = flat_idx // (k * k * k)
+        rem = flat_idx % (k * k * k)
+        i0, rem = rem // (k * k), rem % (k * k)
+        i1, i2 = rem // k, rem % k
+
+        def pick(tokens, comp_idx):
+            t = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)  # (B,K,k)
+            return jnp.take_along_axis(t, comp_idx[:, :, None], axis=2)[:, :, 0]
+
+        token = jnp.stack(
+            [
+                pick(comp_tokens[0], i0),
+                pick(comp_tokens[1], i1),
+                pick(comp_tokens[2], i2),
+            ],
+            axis=-1,
+        ).astype(jnp.int32)  # (B, K, C)
+
+        seqs = jnp.take_along_axis(seqs, beam_idx[:, :, None, None], axis=1)
+        seqs = lax.dynamic_update_slice(
+            seqs, token[:, :, None, :], (0, 0, i + 1, 0)
+        )
+        finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (
+            token[:, :, stop_component] == eos_id
+        )
+        cache = _gather_beams(cache, beam_idx, b, k)
+        return i + 1, seqs, new_scores, cache, finished
+
+    _, seqs, scores, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), seqs, scores, cache, finished)
+    )
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(seqs, best[:, None, None, None], axis=1)[:, 0]

@@ -36,6 +36,68 @@ def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=No
     return generate
 
 
+def make_beam_generate_fn(
+    model, max_length: int, num_beams: int, bos_id=None, eos_id=None, pad_id=None
+):
+    """Beam-search generation: encode once, expand cache/mask to B*K beams."""
+    from ..decode.beam import _expand_to_beams, beam_decode
+
+    t5c = model.cfg.t5
+    bos = t5c.decoder_start_token_id if bos_id is None else bos_id
+    eos = t5c.eos_token_id if eos_id is None else eos_id
+    pad = t5c.pad_token_id if pad_id is None else pad_id
+
+    def generate(params, batch):
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+        batch_size = enc_mask.shape[0]
+        cache = _expand_to_beams(cache, num_beams)
+        enc_mask_k = _expand_to_beams(enc_mask, num_beams)
+
+        def step(tokens, cache, i):
+            return model.apply(
+                {"params": params}, tokens, cache, i, full_bias, enc_mask_k,
+                method=type(model).decode_step,
+            )
+
+        return beam_decode(
+            step, cache, batch_size, num_beams, max_length, bos, eos, pad
+        )
+
+    return generate
+
+
+def make_multi_head_beam_generate_fn(
+    model, max_length: int, num_beams: int, bos_id: int, eos_id: int,
+    pad_id: int, stop_component: int = 0,
+):
+    from ..decode.beam import _expand_to_beams, multi_head_beam_decode
+
+    def generate(params, batch):
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+        batch_size = enc_mask.shape[0]
+        cache = _expand_to_beams(cache, num_beams)
+        enc_mask_k = _expand_to_beams(enc_mask, num_beams)
+
+        def step(tokens, cache, i):
+            return model.apply(
+                {"params": params}, tokens, cache, i, full_bias, enc_mask_k,
+                method=type(model).decode_step,
+            )
+
+        return multi_head_beam_decode(
+            step, cache, batch_size, num_beams, max_length, bos_id, eos_id,
+            pad_id, stop_component,
+        )
+
+    return generate
+
+
 def make_multi_head_generate_fn(
     model, max_length: int, num_components: int, bos_id: int, eos_id: int,
     pad_id: int, stop_component: int = 0,

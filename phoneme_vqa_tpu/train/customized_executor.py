@@ -76,15 +76,21 @@ class _CustomizedMixin:
         )
 
     def _build_generate_fn(self, max_length: int):
-        from ..models.generate import make_generate_fn
+        from ..models.generate import make_beam_generate_fn, make_generate_fn
 
         tok = self.decode_tokenizer
-        return jax.jit(
-            make_generate_fn(
+        c = self.config
+        if c.get("isgreedy", True) or c.get("num_beam", 1) <= 1:
+            fn = make_generate_fn(
                 self.model, max_length,
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
             )
-        )
+        else:
+            fn = make_beam_generate_fn(
+                self.model, max_length, num_beams=int(c.num_beam),
+                bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
+            )
+        return jax.jit(fn)
 
     def _decode_rows(self, rows) -> List[str]:
         decoded = self.decode_tokenizer.batch_decode(rows)

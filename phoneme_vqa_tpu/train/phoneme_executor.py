@@ -88,16 +88,26 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
         )
 
     def _build_generate_fn(self, max_length: int):
-        from ..models.generate import make_multi_head_generate_fn
+        from ..models.generate import (
+            make_multi_head_beam_generate_fn,
+            make_multi_head_generate_fn,
+        )
 
         tok = self.decode_tokenizer
-        return jax.jit(
-            make_multi_head_generate_fn(
+        c = self.config
+        if c.get("isgreedy", True) or c.get("num_beam", 1) <= 1:
+            fn = make_multi_head_generate_fn(
                 self.model, max_length, num_components=3,
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
                 stop_component=0,
             )
-        )
+        else:
+            fn = make_multi_head_beam_generate_fn(
+                self.model, max_length, num_beams=int(c.num_beam),
+                bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
+                stop_component=0,
+            )
+        return jax.jit(fn)
 
     def _decode_rows(self, rows) -> List[str]:
         return self.decode_tokenizer.batch_decode(np.asarray(rows))
