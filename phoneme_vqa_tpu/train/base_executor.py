@@ -45,6 +45,10 @@ class BaseExecutor:
         self.best_score = 0.0
         self.mesh = create_mesh()
         self._generate_fns: Dict = {}
+        if config.get("DEBUG_NANS"):
+            from ..utils.profiling import enable_nan_checks
+
+            enable_nan_checks(True)
 
         if mode == "train":
             self._create_data_utils()
@@ -288,22 +292,28 @@ class BaseExecutor:
 
     def _train_epoch(self, epoch: int) -> float:
         from ..data.loader import batch_iterator, num_batches
+        from ..utils.profiling import StepTimer, maybe_trace
 
         c = self.config
         total, it = 0.0, 0
         n_steps = num_batches(len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True)
-        for batch, _ in batch_iterator(
-            self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
-            seed=c.get("SEED", 13) + epoch, drop_last=True,
-        ):
-            self.state, loss = self.train_step(self.state, self._shard(batch))
-            total += float(loss)
-            it += 1
-            if it == 1 or it % 20 == 0 or it == n_steps:
-                log.info(
-                    f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
-                    f"| Loss: {round(total / it, 2)}"
-                )
+        timer = StepTimer()
+        timer.start()
+        profile_dir = c.get("PROFILE_DIR") if epoch == 1 else None
+        with maybe_trace(profile_dir, "train_epoch"):
+            for batch, _ in batch_iterator(
+                self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
+                seed=c.get("SEED", 13) + epoch, drop_last=True,
+            ):
+                self.state, loss = self.train_step(self.state, self._shard(batch))
+                total += float(loss)
+                timer.tick(c.TRAIN_BATCH_SIZE)
+                it += 1
+                if it == 1 or it % 20 == 0 or it == n_steps:
+                    log.info(
+                        f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
+                        f"| Loss: {round(total / it, 2)} | {timer.summary()}"
+                    )
         return total / max(it, 1)
 
     def _build_generate_fn(self, max_length: int):

@@ -138,6 +138,7 @@ class _CustomizedMixin:
 
     def _train_epoch(self, epoch: int) -> float:
         from ..data.loader import batch_iterator
+        from ..utils.profiling import StepTimer
 
         c = self.config
         frozen = epoch <= c.get("NUM_FREEZE_EPOCH", 0)
@@ -146,17 +147,20 @@ class _CustomizedMixin:
             log.info(f"Epoch {epoch}: encoder frozen")
         total, it = 0.0, 0
         n_steps = num_batches(len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True)
+        timer = StepTimer()
+        timer.start()
         for batch, _ in batch_iterator(
             self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
             seed=c.get("SEED", 13) + epoch, drop_last=True,
         ):
             self.state, loss = self.train_step(self.state, self._shard(batch), scale)
             total += float(loss)
+            timer.tick(c.TRAIN_BATCH_SIZE)
             it += 1
             if it == 1 or it % 20 == 0 or it == n_steps:
                 log.info(
                     f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
-                    f"| Loss: {round(total / it, 2)}"
+                    f"| Loss: {round(total / it, 2)} | {timer.summary()}"
                 )
         return total / max(it, 1)
 
