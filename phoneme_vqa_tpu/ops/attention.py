@@ -12,6 +12,7 @@ matmuls stay in the input dtype (bf16 on TPU), and everything is laid out
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -20,8 +21,23 @@ from jax import lax
 
 NEG_INF = -1e9
 
+# Pallas fused-attention dispatch (see ops/flash_attention.py). Measured on
+# 1x TPU v5e at this framework's shapes (B=32, H=12, L=327, D=64, bf16):
+# XLA-default attention 2.9ms vs the Pallas kernel 3.2ms — XLA's own fusion
+# already avoids materializing logits in HBM at these sequence lengths, so
+# the kernel is OFF by default and kept as an opt-in (`enable_flash(True)`)
+# for regimes where it wins (longer sequences / more heads). Single-step
+# decode (Lq == 1) and CPU always use the XLA path.
+FLASH_ENABLED = False
+_FLASH_MIN_QLEN = 16
 
-def dot_product_attention(
+
+def enable_flash(enabled: bool = True) -> None:
+    global FLASH_ENABLED
+    FLASH_ENABLED = enabled
+
+
+def reference_attention(
     q: jnp.ndarray,  # (B, H, Lq, D)
     k: jnp.ndarray,  # (B, H, Lk, D)
     v: jnp.ndarray,  # (B, H, Lk, D)
@@ -44,3 +60,52 @@ def dot_product_attention(
         logits = jnp.where((cols <= rows)[None, None], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash(q, k, v, bias, key_mask, causal, scale):
+    from .flash_attention import fused_attention
+
+    return fused_attention(q, k, v, bias, key_mask, causal=causal, scale=scale)
+
+
+def _flash_fwd(q, k, v, bias, key_mask, causal, scale):
+    return _flash(q, k, v, bias, key_mask, causal, scale), (q, k, v, bias, key_mask)
+
+
+def _flash_bwd(causal, scale, residuals, g):
+    # backward recomputes the XLA reference path (still fused by XLA); the
+    # forward-only serving path gets the kernel with zero autodiff risk
+    q, k, v, bias, key_mask = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: reference_attention(
+            q_, k_, v_, b_, key_mask, causal, scale
+        ),
+        q, k, v, bias,
+    )
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    use_flash = (
+        FLASH_ENABLED
+        and jax.default_backend() == "tpu"
+        and q.shape[-2] >= _FLASH_MIN_QLEN
+        and (key_mask is None or key_mask.ndim == 2)
+    )
+    if use_flash:
+        mask = None if key_mask is None else key_mask.astype(jnp.int32)
+        return _flash(q, k, v, bias, mask, causal, scale)
+    return reference_attention(q, k, v, bias, key_mask, causal, scale)
