@@ -143,6 +143,54 @@ def import_t5_params(t5_params: dict, sd: Dict[str, np.ndarray]) -> dict:
     return out
 
 
+def import_vit_params(vit_params: dict, sd: Dict[str, np.ndarray]) -> dict:
+    """Map a HF ViTModel state_dict into our ViT param subtree."""
+    import copy
+
+    out = copy.deepcopy(vit_params)
+
+    def put(path, value):
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = np.asarray(value, np.float32)
+
+    put("cls_token", sd["embeddings.cls_token"])
+    put("position_embeddings", sd["embeddings.position_embeddings"])
+    # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+    put(
+        "patch_embed/kernel",
+        sd["embeddings.patch_embeddings.projection.weight"].transpose(2, 3, 1, 0),
+    )
+    put("patch_embed/bias", sd["embeddings.patch_embeddings.projection.bias"])
+    put("final_ln/scale", sd["layernorm.weight"])
+    put("final_ln/bias", sd["layernorm.bias"])
+
+    n_layers = len([k for k in vit_params if k.startswith("block_")])
+    for i in range(n_layers):
+        hf = f"encoder.layer.{i}"
+        pairs = {
+            f"{hf}.attention.attention.query": f"block_{i}/attention/query",
+            f"{hf}.attention.attention.key": f"block_{i}/attention/key",
+            f"{hf}.attention.attention.value": f"block_{i}/attention/value",
+            f"{hf}.attention.output.dense": f"block_{i}/attention/out",
+            f"{hf}.intermediate.dense": f"block_{i}/fc1",
+            f"{hf}.output.dense": f"block_{i}/fc2",
+        }
+        for hf_k, ours in pairs.items():
+            put(f"{ours}/kernel", sd[f"{hf_k}.weight"].T)
+            put(f"{ours}/bias", sd[f"{hf_k}.bias"])
+        for hf_ln, ours_ln in (
+            ("layernorm_before", "ln_before"),
+            ("layernorm_after", "ln_after"),
+        ):
+            put(f"block_{i}/{ours_ln}/scale", sd[f"{hf}.{hf_ln}.weight"])
+            put(f"block_{i}/{ours_ln}/bias", sd[f"{hf}.{hf_ln}.bias"])
+    log.info(f"ViT import: mapped {n_layers} blocks + embeddings")
+    return out
+
+
 def import_latr_weights(params: dict, weights_root: str) -> dict:
     """weights_root may contain 't5/' and 'vit/' checkpoint dirs."""
     import copy
@@ -151,4 +199,7 @@ def import_latr_weights(params: dict, weights_root: str) -> dict:
     t5_dir = os.path.join(weights_root, "t5")
     if os.path.isdir(t5_dir):
         out["t5"] = import_t5_params(out["t5"], _load_state_dict(t5_dir))
+    vit_dir = os.path.join(weights_root, "vit")
+    if os.path.isdir(vit_dir) and "vit" in out:
+        out["vit"] = import_vit_params(out["vit"], _load_state_dict(vit_dir))
     return out

@@ -1,0 +1,104 @@
+"""HF -> flax weight import parity: a randomly-initialized torch T5's
+teacher-forced logits must match our T5 after `import_t5_params`.
+
+This is the gate for loading real vit5-base checkpoints when they are
+available locally (zero-egress environments run random-init)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoneme_vqa_tpu.models.hf_import import import_t5_params
+from phoneme_vqa_tpu.models.t5 import T5, T5Config
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_vit_import_parity():
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+
+    from phoneme_vqa_tpu.models.hf_import import import_vit_params
+    from phoneme_vqa_tpu.models.vit import ViT, ViTConfig
+
+    hf_cfg = HFViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+
+    cfg = ViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+        num_heads=4, mlp_dim=64, dtype=jnp.float32,
+    )
+    model = ViT(cfg)
+    pix = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(pix))["params"]
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = import_vit_params(params, sd)
+
+    with torch.no_grad():
+        want = hf(pixel_values=torch.tensor(pix)).last_hidden_state.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(pix)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_t5_import_logit_parity(tied):
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    hf_cfg = HFT5Config(
+        vocab_size=48,
+        d_model=32,
+        d_kv=8,
+        num_heads=4,
+        d_ff=37,
+        num_layers=2,
+        num_decoder_layers=2,
+        feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+        tie_word_embeddings=tied,
+        decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = T5Config(
+        vocab_size=48, d_model=32, d_kv=8, num_heads=4, d_ff=37,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=tied,
+        dtype=jnp.float32,
+    )
+    model = T5(cfg)
+    b, l_enc, t = 2, 6, 5
+    rng = np.random.RandomState(0)
+    enc_ids = rng.randint(2, 48, (b, l_enc))
+    dec_ids = rng.randint(2, 48, (b, t))
+    enc_mask = np.ones((b, l_enc), np.int64)
+    enc_mask[1, 4:] = 0
+
+    embeds = jnp.zeros((b, l_enc, 32))
+    params = model.init(jax.random.PRNGKey(0), embeds, jnp.asarray(dec_ids), None)[
+        "params"
+    ]
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = import_t5_params(params, sd)
+
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(enc_ids),
+            attention_mask=torch.tensor(enc_mask),
+            decoder_input_ids=torch.tensor(dec_ids),
+        ).logits.numpy()
+
+    def fwd(params):
+        emb = model.apply({"params": params}, jnp.asarray(enc_ids), method=T5.embed)
+        return model.apply(
+            {"params": params}, emb, jnp.asarray(dec_ids), jnp.asarray(enc_mask), None
+        )
+
+    ours = np.asarray(fwd(params))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
