@@ -53,6 +53,15 @@ def make_batch(b: int, seed: int = 0):
 def bench_tpu() -> tuple[float, float]:
     import jax
 
+    # persistent compilation cache: the scanned generate takes ~6 min to
+    # compile through the remote-compile service on first run
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     from phoneme_vqa_tpu.config import Config
     from phoneme_vqa_tpu.models.latr import LaTr, LaTr_config, make_generate_fn
 

@@ -136,14 +136,20 @@ class DecoderLayer(nn.Module):
         self.ln1, self.ln2, self.ln3 = ln("ln1"), ln("ln2"), ln("ln3")
         self.fc1 = dense(c.d_ff, "fc1")
         self.fc2 = dense(c.d_model, "fc2")
+        self.drop = nn.Dropout(c.dropout_rate, name="drop")
 
-    def _ffn(self, x):
-        return self.fc2(jax.nn.relu(self.fc1(x)))
+    def _ffn(self, x, deterministic=True):
+        h = self.drop(jax.nn.relu(self.fc1(x)), deterministic=deterministic)
+        return self.fc2(h)
 
-    def __call__(self, x, memory, memory_mask=None, tgt_keep_mask=None):
-        x = self.ln1(x + self.self_attn(x, key_mask=tgt_keep_mask, causal=True))
-        x = self.ln2(x + self.cross_attn(x, kv=memory, key_mask=memory_mask))
-        return self.ln3(x + self._ffn(x))
+    def __call__(self, x, memory, memory_mask=None, tgt_keep_mask=None,
+                 deterministic: bool = True):
+        d = deterministic
+        x = self.ln1(x + self.drop(
+            self.self_attn(x, key_mask=tgt_keep_mask, causal=True), deterministic=d))
+        x = self.ln2(x + self.drop(
+            self.cross_attn(x, kv=memory, key_mask=memory_mask), deterministic=d))
+        return self.ln3(x + self.drop(self._ffn(x, d), deterministic=d))
 
     def step(self, x, cache, index, memory_mask=None):
         h, ck, cv = self.self_attn.step(x, cache["k"], cache["v"], index)
@@ -171,6 +177,7 @@ class CustomDecoder(nn.Module):
         self.lm_head = nn.Dense(
             c.vocab_size, dtype=c.dtype, param_dtype=jnp.float32, name="lm_head"
         )
+        self.pe_drop = nn.Dropout(c.dropout_rate, name="pe_drop")
         self.pe = jnp.asarray(sinusoidal_table(c.max_len, c.d_model))
 
     def _embed(self, ids, offset: int | jnp.ndarray = 0):
@@ -183,13 +190,15 @@ class CustomDecoder(nn.Module):
             pe = jax.lax.dynamic_slice(self.pe, (offset, 0), (t, c.d_model))
         return (x + pe[None]).astype(c.dtype)
 
-    def __call__(self, tgt_ids, memory, memory_mask=None, tgt_keep_mask=None):
+    def __call__(self, tgt_ids, memory, memory_mask=None, tgt_keep_mask=None,
+                 deterministic: bool = True):
         """Teacher-forced: (B, T) ids -> (B, T, V) f32 logits."""
         memory_mask = None if memory_mask is None else memory_mask.astype(bool)
         tgt_keep_mask = None if tgt_keep_mask is None else tgt_keep_mask.astype(bool)
-        x = self._embed(tgt_ids)
+        x = self.pe_drop(self._embed(tgt_ids), deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, memory.astype(self.cfg.dtype), memory_mask, tgt_keep_mask)
+            x = layer(x, memory.astype(self.cfg.dtype), memory_mask, tgt_keep_mask,
+                      deterministic)
         return self.lm_head(x).astype(jnp.float32)
 
     def init_cache(self, memory, max_len: int) -> Cache:

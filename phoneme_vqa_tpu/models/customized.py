@@ -126,7 +126,7 @@ class _CustomDecodeMixin:
     def __call__(self, batch, labels, label_mask, deterministic: bool = True):
         embeds, enc_mask = self.fuse(batch)
         enc_out = self.t5.encode(embeds, enc_mask, deterministic=deterministic)
-        return self.decoder(labels, enc_out, enc_mask, label_mask)
+        return self.decoder(labels, enc_out, enc_mask, label_mask, deterministic)
 
     def encode_for_generate(self, batch, max_length: int):
         embeds, enc_mask = self.fuse(batch)
@@ -170,7 +170,7 @@ class CustomizedSaL(_CustomDecodeMixin, SaLFusion):
         enc_out = self.t5.encode(
             embeds, enc_mask, position_bias=bias, deterministic=deterministic
         )
-        return self.decoder(labels, enc_out, enc_mask, label_mask)
+        return self.decoder(labels, enc_out, enc_mask, label_mask, deterministic)
 
     def encode_for_generate(self, batch, max_length: int):
         embeds, enc_mask, bias = self.fuse(batch)

@@ -111,6 +111,7 @@ class PhonemeTripleDecoder(nn.Module):
         self.onset_lm_head = dense(c.onset_vocab, "onset_lm_head")
         self.rhyme_lm_head = dense(c.rhyme_vocab, "rhyme_lm_head")
         self.tone_lm_head = dense(c.tone_vocab, "tone_lm_head")
+        self.pe_drop = nn.Dropout(c.dropout_rate, name="pe_drop")
         self.pe = jnp.asarray(sinusoidal_table(c.max_len, c.d_model))
 
     def _embed(self, triples: jnp.ndarray, offset=0):
@@ -143,12 +144,14 @@ class PhonemeTripleDecoder(nn.Module):
             tone.astype(jnp.float32),
         )
 
-    def __call__(self, triples, memory, memory_mask=None, tgt_keep_mask=None):
+    def __call__(self, triples, memory, memory_mask=None, tgt_keep_mask=None,
+                 deterministic: bool = True):
         memory_mask = None if memory_mask is None else memory_mask.astype(bool)
         tgt_keep_mask = None if tgt_keep_mask is None else tgt_keep_mask.astype(bool)
-        x = self._embed(triples)
+        x = self.pe_drop(self._embed(triples), deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, memory.astype(self.cfg.dtype), memory_mask, tgt_keep_mask)
+            x = layer(x, memory.astype(self.cfg.dtype), memory_mask, tgt_keep_mask,
+                      deterministic)
         return self._heads(x)
 
     def init_cache(self, memory, max_len: int) -> Cache:
@@ -206,7 +209,7 @@ class _PhonemeTripleMixin:
     def __call__(self, batch, labels, label_mask, deterministic: bool = True):
         embeds, enc_mask = self.fuse(batch)
         enc_out = self.t5.encode(embeds, enc_mask, deterministic=deterministic)
-        return self.decoder(labels, enc_out, enc_mask, label_mask)
+        return self.decoder(labels, enc_out, enc_mask, label_mask, deterministic)
 
     def encode_for_generate(self, batch, max_length: int):
         embeds, enc_mask = self.fuse(batch)
@@ -254,7 +257,7 @@ class PhonemeSaL(_CustomDecodeMixin, SaLFusion):
         enc_out = self.t5.encode(
             embeds, enc_mask, position_bias=bias, deterministic=deterministic
         )
-        return self.decoder(labels, enc_out, enc_mask, label_mask)
+        return self.decoder(labels, enc_out, enc_mask, label_mask, deterministic)
 
     def encode_for_generate(self, batch, max_length: int):
         embeds, enc_mask, bias = self.fuse(batch)

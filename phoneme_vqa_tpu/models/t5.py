@@ -200,10 +200,16 @@ class T5EncoderBlock(nn.Module):
         self.attn = T5Attention(cfg, name="attn")
         self.ln1 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln1")
         self.ffn = T5FFN(cfg, name="ffn")
+        self.drop = nn.Dropout(cfg.dropout_rate, name="drop")
 
     def __call__(self, x, key_mask, bias, deterministic: bool = True):
-        x = x + self.attn(self.ln0(x), key_mask=key_mask, bias=bias)
-        x = x + self.ffn(self.ln1(x), deterministic=deterministic)
+        drop = self.drop
+        x = x + drop(
+            self.attn(self.ln0(x), key_mask=key_mask, bias=bias),
+            deterministic=deterministic,
+        )
+        x = x + drop(self.ffn(self.ln1(x), deterministic=deterministic),
+                     deterministic=deterministic)
         return x
 
 
@@ -253,11 +259,20 @@ class T5DecoderBlock(nn.Module):
         self.cross_attn = T5Attention(cfg, name="cross_attn")
         self.ln2 = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="ln2")
         self.ffn = T5FFN(cfg, name="ffn")
+        self.drop = nn.Dropout(cfg.dropout_rate, name="drop")
 
     def __call__(self, x, enc_out, enc_mask, self_mask, bias, deterministic=True):
-        x = x + self.self_attn(self.ln0(x), key_mask=self_mask, bias=bias, causal=True)
-        x = x + self.cross_attn(self.ln1(x), kv_source=enc_out, key_mask=enc_mask)
-        x = x + self.ffn(self.ln2(x), deterministic=deterministic)
+        drop = self.drop
+        x = x + drop(
+            self.self_attn(self.ln0(x), key_mask=self_mask, bias=bias, causal=True),
+            deterministic=deterministic,
+        )
+        x = x + drop(
+            self.cross_attn(self.ln1(x), kv_source=enc_out, key_mask=enc_mask),
+            deterministic=deterministic,
+        )
+        x = x + drop(self.ffn(self.ln2(x), deterministic=deterministic),
+                     deterministic=deterministic)
         return x
 
     def step(self, x, cache, index, bias_row, enc_mask, self_key_mask=None):

@@ -251,7 +251,7 @@ class BaseExecutor:
         log.info(f"# Model parameters: {n / 1e6:.1f}M")
         return params
 
-    def _loss_from_batch(self, params, batch):
+    def _loss_from_batch(self, params, batch, dropout_rng=None):
         from .optim import cross_entropy_loss
 
         labels = batch["label_ids"]
@@ -261,6 +261,8 @@ class BaseExecutor:
             self._model_batch(batch),
             labels[:, :-1],
             label_mask[:, :-1],
+            deterministic=dropout_rng is None,
+            rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
         return cross_entropy_loss(logits, labels[:, 1:], self._loss_pad_id())
 
@@ -273,11 +275,13 @@ class BaseExecutor:
         import optax
 
         tx = self.tx
+        base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
+            dropout_rng = jax.random.fold_in(base_rng, state.step)
             loss, grads = jax.value_and_grad(self._loss_from_batch)(
-                state.params, batch
+                state.params, batch, dropout_rng
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

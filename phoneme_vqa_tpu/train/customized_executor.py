@@ -114,11 +114,13 @@ class _CustomizedMixin:
 
         tx = self.tx
         freeze_subtrees = self.FREEZE_SUBTREES
+        base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch, encoder_lr_scale):
+            dropout_rng = jax.random.fold_in(base_rng, state.step)
             loss, grads = jax.value_and_grad(self._loss_from_batch)(
-                state.params, batch
+                state.params, batch, dropout_rng
             )
             for name in freeze_subtrees:
                 if name in grads:

@@ -71,7 +71,7 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
             ),
         )
 
-    def _loss_from_batch(self, params, batch):
+    def _loss_from_batch(self, params, batch, dropout_rng=None):
         labels = batch["label_ids"]  # (B, T, 3)
         mask = batch["label_attention_mask"]  # (B, T)
         onset, rhyme, tone = self.model.apply(
@@ -79,6 +79,8 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
             self._model_batch(batch),
             labels[:, :-1, :],
             mask[:, :-1],
+            deterministic=dropout_rng is None,
+            rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
         pad = self.decode_tokenizer.pad_id
         return (

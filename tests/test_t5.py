@@ -178,3 +178,26 @@ def test_prestu_forward_and_generate():
     assert logits.shape == (2, 3, TINY_T5.vocab_size)
     out = jax.jit(make_generate_fn(model, max_length=5))(params, batch)
     assert out.shape == (2, 5)
+
+
+def test_dropout_active_in_training_mode():
+    """Non-deterministic forward with different dropout rngs gives different
+    logits; deterministic mode is rng-independent."""
+    cfg = TINY_T5.replace(dropout_rate=0.3)
+    model = T5(cfg)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.d_model))
+    dec_ids = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), embeds, dec_ids)["params"]
+
+    def fwd(rng):
+        return model.apply(
+            {"params": params}, embeds, dec_ids, None, None, None, False,
+            rngs={"dropout": rng},
+        )
+
+    a = fwd(jax.random.PRNGKey(1))
+    b = fwd(jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    det = model.apply({"params": params}, embeds, dec_ids)
+    det2 = model.apply({"params": params}, embeds, dec_ids)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
