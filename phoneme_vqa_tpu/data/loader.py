@@ -83,6 +83,33 @@ def num_batches(n_rows: int, batch_size: int, drop_last: bool = False) -> int:
     return n_rows // batch_size if drop_last else -(-n_rows // batch_size)
 
 
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetch: overlaps host-side batch assembly (lazy
+    .npy feature loads) with device compute — the role torch DataLoader
+    workers (NUMWORKERS) play in the reference
+    (`base_executor.py:219-231`)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
 def make_image_loader(base_img_path: str, image_ids) -> Callable[[np.ndarray], np.ndarray]:
     """Lazy ViT pixel loader: {base}/{image_id}.npy dicts holding 'image'
     (contract: /root/reference/core/data/LaTrDataset.py:40-42). Handles both

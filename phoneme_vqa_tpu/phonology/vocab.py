@@ -72,6 +72,12 @@ class VocabBuilder:
             "rhyme": {"none": 0, "<pad>": 1},
             "tone": {"none": 0, "<pad>": 1},
         }
+        # provenance tracking for the inspection helpers
+        # (vocab_builder.py:34-35,128-135)
+        self.word_sources: Dict[str, Dict[str, List[str]]] = {
+            "onset": {}, "rhyme": {}, "tone": {},
+        }
+        self.text_sources: Dict[str, Dict[str, List[str]]] = {"rhyme": {}}
         self._build()
 
     def _add(self, part: str, token: str) -> None:
@@ -79,21 +85,54 @@ class VocabBuilder:
         if token not in bucket:
             bucket[token] = len(bucket)
 
+    def _track(self, part: str, token: str, word: str, text: str = None) -> None:
+        self.word_sources[part].setdefault(token, []).append(word)
+        if part == "rhyme" and text is not None:
+            self.text_sources["rhyme"].setdefault(token, []).append(text)
+
     def add_text(self, text: str) -> None:
         for word in text.split():
             word = word.lower()
             is_viet, parts = is_vietnamese_3(word)
             if is_viet:
                 onset, rhyme, tone = parts
-                self._add("onset", onset.lower() if onset else "none")
-                self._add("rhyme", rhyme.lower() if rhyme else "none")
-                self._add("tone", tone.lower() if tone else "none")
+                onset = onset.lower() if onset else "none"
+                rhyme = rhyme.lower() if rhyme else "none"
+                tone = tone.lower() if tone else "none"
+                self._add("onset", onset)
+                self._add("rhyme", rhyme)
+                self._add("tone", tone)
+                self._track("onset", onset, word)
+                self._track("rhyme", rhyme, word, text)
+                self._track("tone", tone, word)
             else:
                 for ch in word:
                     if ch.islower():
                         self._add("onset", ch)
+                        self._track("onset", ch, word)
                 for ch in string.ascii_lowercase + string.digits + string.punctuation:
                     self._add("onset", ch)
+
+    # -- inspection helpers (vocab_builder.py:115-135) ------------------------
+
+    def check_vocab(self) -> None:
+        print("Vocabulary Size:", {k: len(v) for k, v in self.vocab.items()})
+        for part, mapping in self.vocab.items():
+            print(f"Category: {part}")
+            for token, idx in mapping.items():
+                print(f"  {token}: {idx}")
+
+    def find_word_source(self, part: str, key: str) -> None:
+        sources = self.word_sources.get(part, {})
+        if key in sources:
+            print(f"Words that contributed to {part} {key!r}: {sources[key]}")
+            if part == "rhyme" and key in self.text_sources["rhyme"]:
+                print(
+                    f"Original texts that contained rhyme {key!r}: "
+                    f"{self.text_sources['rhyme'][key]}"
+                )
+        else:
+            print(f"{part.capitalize()} {key!r} not found in vocabulary.")
 
     def _build(self) -> None:
         for path in self.annotation_paths:

@@ -21,3 +21,21 @@ from .models import customized as _customized_models  # noqa: F401
 from .train import customized_executor as _customized_exec  # noqa: F401
 from .models import phoneme as _phoneme_models  # noqa: F401
 from .train import phoneme_executor as _phoneme_exec  # noqa: F401
+
+# reference dataset-name aliases: the Customized*/Phoneme* datasets are the
+# stock featurizations parameterized by answer_encoder (see data/latr.py)
+from .data.latr import LaTrDataset as _L
+from .data.prestu import PreSTUDataset as _P
+from .data.sal import SaLDataset as _S
+from .utils.registry import DATASETS as _D
+
+for _alias, _cls in {
+    "CustomizedLaTrDataset": _L,
+    "PhonemeLaTrDataset": _L,
+    "CustomizedPreSTUDataset": _P,
+    "PhonemePreSTUDataset": _P,
+    "CustomizedSaLDataset": _S,
+    "PhonemeSaLDataset": _S,
+}.items():
+    if _alias not in _D:
+        _D._entries[_alias] = _cls

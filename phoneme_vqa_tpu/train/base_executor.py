@@ -304,11 +304,13 @@ class BaseExecutor:
         timer = StepTimer()
         timer.start()
         profile_dir = c.get("PROFILE_DIR") if epoch == 1 else None
+        batches = batch_iterator(
+            self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
+            seed=c.get("SEED", 13) + epoch, drop_last=True,
+        )
+        batches = self._maybe_prefetch(batches)
         with maybe_trace(profile_dir, "train_epoch"):
-            for batch, _ in batch_iterator(
-                self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
-                seed=c.get("SEED", 13) + epoch, drop_last=True,
-            ):
+            for batch, _ in batches:
                 self.state, loss = self.train_step(self.state, self._shard(batch))
                 total += float(loss)
                 timer.tick(c.TRAIN_BATCH_SIZE)
@@ -335,7 +337,10 @@ class BaseExecutor:
 
         generate = self._get_generate_fn(max_length)
         out_rows: List = []
-        for batch, n_valid in batch_iterator(dataset, batch_size, pad_final=True):
+        batches = self._maybe_prefetch(
+            batch_iterator(dataset, batch_size, pad_final=True)
+        )
+        for batch, n_valid in batches:
             ids = generate(self.state.params, self._shard(self._model_batch(batch)))
             out_rows.extend(np.asarray(ids)[:n_valid].tolist())
         return self._decode_rows(out_rows)
@@ -354,7 +359,14 @@ class BaseExecutor:
 
     # -- helpers ------------------------------------------------------------------
 
-    def _dummy_batch(self) -> dict:
+    def _maybe_prefetch(self, iterator):
+        """Background-thread prefetch when NUMWORKERS > 0 (the reference's
+        DataLoader worker knob)."""
+        if self.config.get("NUMWORKERS", 0):
+            from ..data.loader import prefetch
+
+            return prefetch(iterator, depth=max(2, int(self.config.NUMWORKERS)))
+        return iterator
         raise NotImplementedError
 
     def _shard(self, batch: dict) -> dict:

@@ -151,10 +151,11 @@ class _CustomizedMixin:
         n_steps = num_batches(len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True)
         timer = StepTimer()
         timer.start()
-        for batch, _ in batch_iterator(
+        batches = self._maybe_prefetch(batch_iterator(
             self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
             seed=c.get("SEED", 13) + epoch, drop_last=True,
-        ):
+        ))
+        for batch, _ in batches:
             self.state, loss = self.train_step(self.state, self._shard(batch), scale)
             total += float(loss)
             timer.tick(c.TRAIN_BATCH_SIZE)

@@ -70,3 +70,15 @@ def test_training_reduces_loss(tmp_path):
     for epoch in range(1, 4):
         losses.append(executor._train_epoch(epoch))
     assert losses[-1] < losses[0], losses
+
+
+def test_prefetch_numworkers(tmp_path):
+    """NUMWORKERS>0 routes batches through the background prefetch thread."""
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=1, NUMWORKERS=2)
+    config = get_config(yaml_path)
+    executor = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    loss = executor._train_epoch(1)
+    assert np.isfinite(loss)
+    preds = executor.infer(executor.val_data, 8, 6)
+    assert len(preds) == 6

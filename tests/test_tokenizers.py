@@ -179,3 +179,18 @@ def test_fallback_backbone_tokenizer():
     assert len(per_word["input_ids"][2]) > 1
     # decode inverts encode
     assert tok.decode(joint["input_ids"]) == "hello world foobarbazqux"
+
+
+def test_vocab_builder_inspection_helpers(tmp_path, capsys):
+    ann = {"annotations": [{"question": "màu gì", "answers": ["màu đỏ covid"]}]}
+    ann_path = tmp_path / "a.json"
+    ann_path.write_text(json.dumps(ann, ensure_ascii=False), encoding="utf-8")
+    vb = VocabBuilder([str(ann_path)])
+    vb.check_vocab()
+    out = capsys.readouterr().out
+    assert "Vocabulary Size" in out and "Category: onset" in out
+    vb.find_word_source("rhyme", "au")
+    out = capsys.readouterr().out
+    assert "màu" in out
+    vb.find_word_source("onset", "zzz")
+    assert "not found" in capsys.readouterr().out
