@@ -24,15 +24,24 @@ from jax import lax
 NEG = -1.0e9
 
 
+def _batch_axis(leaf) -> int:
+    """Stacked (L, B, H, T, d) cache leaves carry batch on axis 1; everything
+    else is batch-major."""
+    return 1 if leaf.ndim == 5 else 0
+
+
 def _expand_to_beams(tree, k: int):
-    """Repeat every leaf along axis 0: (B, ...) -> (B*K, ...)."""
-    return jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), tree)
+    """Repeat every leaf along its batch axis: (..., B, ...) -> (..., B*K, ...)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, k, axis=_batch_axis(x)), tree)
 
 
 def _gather_beams(tree, beam_idx: jnp.ndarray, batch: int, k: int):
-    """Reorder beam-major leaves (B*K, ...) by per-batch beam indices (B, K)."""
+    """Reorder beam-major leaves (B*K on the batch axis) by per-batch beam
+    indices (B, K)."""
     flat_idx = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
-    return jax.tree.map(lambda x: x[flat_idx], tree)
+    return jax.tree.map(
+        lambda x: jnp.take(x, flat_idx, axis=_batch_axis(x)), tree
+    )
 
 
 def beam_decode(

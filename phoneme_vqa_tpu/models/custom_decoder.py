@@ -95,20 +95,32 @@ class MHA(nn.Module):
         return self._split(self.k_proj(x)), self._split(self.v_proj(x))
 
     def step(self, x, cache_k, cache_v, index, key_mask=None):
+        """Cache-write-free decode step (see T5Attention.step): the current
+        position's K/V contribution is folded in with a select; the caller
+        performs ONE stacked cache write per step for all layers.
+        Returns (out, k_new, v_new)."""
         q = self._split(self.q_proj(x))
         k_new = self._split(self.k_proj(x))
         v_new = self._split(self.v_proj(x))
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, index, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, index, 0))
         t = cache_k.shape[2]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-        mask = pos <= index
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+        ) * self._scale()
+        logit_new = jnp.einsum(
+            "bhqd,bhqd->bhq", q, k_new, preferred_element_type=jnp.float32
+        )[..., None] * self._scale()
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        logits = jnp.where(pos == index, logit_new, logits)
+        keep = pos <= index
         if key_mask is not None:
-            mask = mask & key_mask
-        out = dot_product_attention(
-            q, cache_k, cache_v, key_mask=mask, scale=self._scale()
-        )
-        return self.out(self._merge(out)), cache_k, cache_v
+            keep = keep & key_mask[:, None, None, :]
+        logits = jnp.where(keep, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(cache_v.dtype)
+        at_index = (pos == index).astype(probs.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs * (1 - at_index), cache_v)
+        out = out + jnp.sum(probs * at_index, axis=3, keepdims=True) * v_new
+        return self.out(self._merge(out)), k_new, v_new
 
     def cross_step(self, x, cached_k, cached_v, key_mask=None):
         q = self._split(self.q_proj(x))
@@ -151,12 +163,12 @@ class DecoderLayer(nn.Module):
             self.cross_attn(x, kv=memory, key_mask=memory_mask), deterministic=d))
         return self.ln3(x + self.drop(self._ffn(x, d), deterministic=d))
 
-    def step(self, x, cache, index, memory_mask=None):
-        h, ck, cv = self.self_attn.step(x, cache["k"], cache["v"], index)
+    def step(self, x, cache_k, cache_v, cross_k, cross_v, index, memory_mask=None):
+        h, k_new, v_new = self.self_attn.step(x, cache_k, cache_v, index)
         x = self.ln1(x + h)
-        x = self.ln2(x + self.cross_attn.cross_step(x, cache["ck"], cache["cv"], memory_mask))
+        x = self.ln2(x + self.cross_attn.cross_step(x, cross_k, cross_v, memory_mask))
         x = self.ln3(x + self._ffn(x))
-        return x, dict(cache, k=ck, v=cv)
+        return x, k_new, v_new
 
 
 class CustomDecoder(nn.Module):
@@ -201,30 +213,44 @@ class CustomDecoder(nn.Module):
                       deterministic)
         return self.lm_head(x).astype(jnp.float32)
 
-    def init_cache(self, memory, max_len: int) -> Cache:
+    def init_cache(self, memory, max_len: int):
+        """Stacked (L, B, H, T, d) cache — one K and one V buffer for all
+        layers, written with a single dynamic_update_slice per step."""
         c = self.cfg
         b = memory.shape[0]
         dh = c.d_model // c.num_heads
-        cache: Cache = []
+        n = len(self.layers)
+        cks, cvs = [], []
         for layer in self.layers:
             ck, cv = layer.cross_attn.project_kv(memory.astype(c.dtype))
-            cache.append(
-                {
-                    "k": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
-                    "v": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
-                    "ck": ck,
-                    "cv": cv,
-                }
-            )
-        return cache
+            cks.append(ck)
+            cvs.append(cv)
+        return {
+            "k": jnp.zeros((n, b, c.num_heads, max_len, dh), c.dtype),
+            "v": jnp.zeros((n, b, c.num_heads, max_len, dh), c.dtype),
+            "ck": jnp.stack(cks),
+            "cv": jnp.stack(cvs),
+        }
 
-    def step(
-        self, tokens: jnp.ndarray, cache: Cache, index, memory_mask=None
-    ) -> Tuple[jnp.ndarray, Cache]:
+    def _run_steps(self, x, cache, index, memory_mask):
+        k_news, v_news = [], []
+        for l, layer in enumerate(self.layers):
+            x, k_new, v_new = layer.step(
+                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                index, memory_mask,
+            )
+            k_news.append(k_new)
+            v_news.append(v_new)
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(k_news), (0, 0, 0, index, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(v_news), (0, 0, 0, index, 0)
+        )
+        return x, dict(cache, k=new_k, v=new_v)
+
+    def step(self, tokens: jnp.ndarray, cache, index, memory_mask=None):
         memory_mask = None if memory_mask is None else memory_mask.astype(bool)
         x = self._embed(tokens[:, None], offset=index)
-        new_cache: Cache = []
-        for layer, layer_cache in zip(self.layers, cache):
-            x, updated = layer.step(x, layer_cache, index, memory_mask)
-            new_cache.append(updated)
-        return self.lm_head(x).astype(jnp.float32)[:, 0], new_cache
+        x, cache = self._run_steps(x, cache, index, memory_mask)
+        return self.lm_head(x).astype(jnp.float32)[:, 0], cache

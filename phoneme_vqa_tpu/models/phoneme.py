@@ -154,33 +154,44 @@ class PhonemeTripleDecoder(nn.Module):
                       deterministic)
         return self._heads(x)
 
-    def init_cache(self, memory, max_len: int) -> Cache:
+    def init_cache(self, memory, max_len: int):
         c = self.cfg
         b = memory.shape[0]
         dh = c.d_model // c.num_heads
-        cache: Cache = []
+        n = len(self.layers)
+        cks, cvs = [], []
         for layer in self.layers:
             ck, cv = layer.cross_attn.project_kv(memory.astype(c.dtype))
-            cache.append(
-                {
-                    "k": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
-                    "v": jnp.zeros((b, c.num_heads, max_len, dh), c.dtype),
-                    "ck": ck,
-                    "cv": cv,
-                }
-            )
-        return cache
+            cks.append(ck)
+            cvs.append(cv)
+        return {
+            "k": jnp.zeros((n, b, c.num_heads, max_len, dh), c.dtype),
+            "v": jnp.zeros((n, b, c.num_heads, max_len, dh), c.dtype),
+            "ck": jnp.stack(cks),
+            "cv": jnp.stack(cvs),
+        }
 
-    def step(self, triples, cache: Cache, index, memory_mask=None):
+    def step(self, triples, cache, index, memory_mask=None):
         """triples (B, 3) -> (3-tuple of (B, V_c) logits, cache)."""
         memory_mask = None if memory_mask is None else memory_mask.astype(bool)
         x = self._embed(triples[:, None, :], offset=index)
-        new_cache: Cache = []
-        for layer, layer_cache in zip(self.layers, cache):
-            x, updated = layer.step(x, layer_cache, index, memory_mask)
-            new_cache.append(updated)
+        k_news, v_news = [], []
+        for l, layer in enumerate(self.layers):
+            x, k_new, v_new = layer.step(
+                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                index, memory_mask,
+            )
+            k_news.append(k_new)
+            v_news.append(v_new)
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(k_news), (0, 0, 0, index, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(v_news), (0, 0, 0, index, 0)
+        )
+        cache = dict(cache, k=new_k, v=new_v)
         onset, rhyme, tone = self._heads(x)
-        return (onset[:, 0], rhyme[:, 0], tone[:, 0]), new_cache
+        return (onset[:, 0], rhyme[:, 0], tone[:, 0]), cache
 
 
 def phoneme_decoder_from_yaml(config, t5, onset_vocab, rhyme_vocab, tone_vocab,

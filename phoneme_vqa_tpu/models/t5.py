@@ -137,23 +137,46 @@ class T5Attention(nn.Module):
     def step(
         self,
         x: jnp.ndarray,  # (B, 1, D) current token hidden
-        cache_k: jnp.ndarray,  # (B, H, T, d) — mutated via dynamic_update
+        cache_k: jnp.ndarray,  # (B, H, T, d) — stale at `index`
         cache_v: jnp.ndarray,
         index: jnp.ndarray,  # scalar int32: current position
         bias_row: Optional[jnp.ndarray] = None,  # (1, H, 1, T)
         key_mask: Optional[jnp.ndarray] = None,  # (B, T) valid-position mask
     ):
+        """One self-attention decode step WITHOUT touching the cache buffers.
+
+        The current position's K/V contribution is folded in analytically
+        (select at ``pos == index``) instead of a per-layer
+        dynamic_update_slice — profiled on v5e, those per-layer cache DMAs
+        were ~half the decode-loop time. The caller batches all layers' new
+        K/V into ONE stacked cache write per step.
+        Returns (attn_out, k_new, v_new)."""
         q = self._split(self.q(x))  # (B, H, 1, d)
-        k_new = self._split(self.k(x))
+        k_new = self._split(self.k(x))  # (B, H, 1, d)
         v_new = self._split(self.v(x))
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, index, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, index, 0))
         t = cache_k.shape[2]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-        valid = (pos <= index)
-        mask = valid if key_mask is None else (valid & key_mask)
-        out = dot_product_attention(q, cache_k, cache_v, bias=bias_row, key_mask=mask)
-        return self.o(self._merge(out)), cache_k, cache_v
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+        )  # (B, H, 1, T) — stale at slot `index`
+        logit_new = jnp.einsum(
+            "bhqd,bhqd->bhq", q, k_new, preferred_element_type=jnp.float32
+        )[..., None]  # (B, H, 1, 1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        logits = jnp.where(pos == index, logit_new, logits)
+        if bias_row is not None:
+            logits = logits + bias_row.astype(jnp.float32)
+        keep = pos <= index
+        if key_mask is not None:
+            keep = keep & key_mask[:, None, None, :]
+        logits = jnp.where(keep, logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(cache_v.dtype)
+        # past values from the cache with slot `index` zeroed, plus the new value
+        at_index = (pos == index).astype(probs.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs * (1 - at_index), cache_v)
+        p_idx = jnp.sum(probs * at_index, axis=3, keepdims=True)
+        out = out + p_idx * v_new
+        return self.o(self._merge(out)), k_new, v_new
 
     def cross_step(
         self,
@@ -275,15 +298,15 @@ class T5DecoderBlock(nn.Module):
                      deterministic=deterministic)
         return x
 
-    def step(self, x, cache, index, bias_row, enc_mask, self_key_mask=None):
-        h, ck, cv = self.self_attn.step(
-            self.ln0(x), cache["k"], cache["v"], index, bias_row, self_key_mask
+    def step(self, x, cache_k, cache_v, cross_k, cross_v, index, bias_row,
+             enc_mask, self_key_mask=None):
+        h, k_new, v_new = self.self_attn.step(
+            self.ln0(x), cache_k, cache_v, index, bias_row, self_key_mask
         )
         x = x + h
-        x = x + self.cross_attn.cross_step(self.ln1(x), cache["ck"], cache["cv"], enc_mask)
+        x = x + self.cross_attn.cross_step(self.ln1(x), cross_k, cross_v, enc_mask)
         x = x + self.ffn(self.ln2(x))
-        new_cache = dict(cache, k=ck, v=cv)
-        return x, new_cache
+        return x, k_new, v_new
 
 
 class T5Decoder(nn.Module):
@@ -317,44 +340,63 @@ class T5Decoder(nn.Module):
 
     # -- incremental decode --------------------------------------------------
 
-    def init_cache(self, enc_out: jnp.ndarray, max_len: int) -> Tuple[Cache, jnp.ndarray]:
-        """Allocate self-attn cache and precompute cross-attn K/V + the full
-        decoder relative bias table (sliced per step)."""
+    def init_cache(self, enc_out: jnp.ndarray, max_len: int):
+        """Allocate the STACKED self-attn cache (L, B, H, T, d) — one buffer
+        per K/V for all layers, written with a single dynamic_update_slice
+        per step — and precompute stacked cross-attn K/V + the full decoder
+        relative bias table (sliced per step)."""
         cfg = self.cfg
         b = enc_out.shape[0]
-        cache: Cache = []
+        n_layers = len(self.blocks)
+        cks, cvs = [], []
         for block in self.blocks:
             ck, cv = block.cross_attn.project_kv(enc_out)
-            cache.append(
-                {
-                    "k": jnp.zeros((b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype),
-                    "v": jnp.zeros((b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype),
-                    "ck": ck,
-                    "cv": cv,
-                }
-            )
+            cks.append(ck)
+            cvs.append(cv)
+        cache = {
+            "k": jnp.zeros(
+                (n_layers, b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype
+            ),
+            "v": jnp.zeros(
+                (n_layers, b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype
+            ),
+            "ck": jnp.stack(cks),
+            "cv": jnp.stack(cvs),
+        }
         full_bias = self.rel_bias(max_len, max_len)  # (1, H, T, T)
         return cache, full_bias
 
     def step(
         self,
         tok_embed: jnp.ndarray,  # (B, 1, D)
-        cache: Cache,
+        cache,
         index: jnp.ndarray,  # scalar
         full_bias: jnp.ndarray,  # (1, H, T, T)
         enc_mask: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, Cache]:
+    ):
         t = full_bias.shape[-1]
         bias_row = jax.lax.dynamic_slice(
             full_bias, (0, 0, index, 0), (1, full_bias.shape[1], 1, t)
         )
         enc_mask = None if enc_mask is None else enc_mask.astype(bool)
         x = tok_embed.astype(self.cfg.dtype)
-        new_cache: Cache = []
-        for block, layer_cache in zip(self.blocks, cache):
-            x, updated = block.step(x, layer_cache, index, bias_row, enc_mask)
-            new_cache.append(updated)
-        return self.final_ln(x), new_cache
+        k_news, v_news = [], []
+        for l, block in enumerate(self.blocks):
+            x, k_new, v_new = block.step(
+                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                index, bias_row, enc_mask,
+            )
+            k_news.append(k_new)
+            v_news.append(v_new)
+        # two stacked cache writes per step (instead of 2 per layer)
+        new_k = jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(k_news), (0, 0, 0, index, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(v_news), (0, 0, 0, index, 0)
+        )
+        cache = dict(cache, k=new_k, v=new_v)
+        return self.final_ln(x), cache
 
 
 class T5(nn.Module):
