@@ -82,3 +82,30 @@ def test_prefetch_numworkers(tmp_path):
     assert np.isfinite(loss)
     preds = executor.infer(executor.val_data, 8, 6)
     assert len(preds) == 6
+
+
+def test_predict_without_score(tmp_path):
+    """get_predict_score=False writes results.json with gens only."""
+    import json
+
+    paths = make_latr_fixture(tmp_path)
+    save_path = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save_path, NUM_EPOCHS=1, get_predict_score=False)
+    config = get_config(yaml_path)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+    results = EXECUTORS.get(config.EXECUTOR)(config, mode="predict").run()
+    data = json.load(open(os.path.join(save_path, "results.json"), encoding="utf-8"))
+    assert len(data) == 6 and set(data[0]) == {"gens"}
+
+
+def test_bfloat16_end_to_end(tmp_path):
+    """The bench's bf16 compute path trains and infers (CPU)."""
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=1,
+                               DTYPE="bfloat16")
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    loss = ex._train_epoch(1)
+    assert np.isfinite(loss)
+    preds = ex.infer(ex.val_data, 8, 6)
+    assert len(preds) == 6
