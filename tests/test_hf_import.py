@@ -102,3 +102,70 @@ def test_t5_import_logit_parity(tied):
 
     ours = np.asarray(fwd(params))
     np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_greedy_generate_matches_hf(tied=True):
+    """Answer-level parity: our KV-cached while_loop greedy == HF torch
+    T5.generate greedy on the same (imported) weights — the BASELINE.json
+    'identical answer strings' gate, at tiny scale."""
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    from phoneme_vqa_tpu.decode.greedy import greedy_decode
+
+    hf_cfg = HFT5Config(
+        vocab_size=41, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=tied,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(3)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = T5Config(
+        vocab_size=41, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=tied,
+        dtype=jnp.float32,
+    )
+    model = T5(cfg)
+    b, l_enc, max_len = 3, 7, 12
+    rng = np.random.RandomState(5)
+    enc_ids = rng.randint(2, 41, (b, l_enc))
+    enc_mask = np.ones((b, l_enc), np.int64)
+    enc_mask[2, 5:] = 0
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, l_enc, 32)), jnp.zeros((b, 2), jnp.int32)
+    )["params"]
+    params = import_t5_params(
+        params, {k: v.numpy() for k, v in hf.state_dict().items()}
+    )
+
+    with torch.no_grad():
+        emb_t = hf.shared(torch.tensor(enc_ids))
+        want = hf.generate(
+            inputs_embeds=emb_t,
+            attention_mask=torch.tensor(enc_mask),
+            max_length=max_len,
+            do_sample=False,
+            num_beams=1,
+        ).numpy()
+
+    emb = model.apply({"params": params}, jnp.asarray(enc_ids), method=T5.embed)
+    enc_out = model.apply(
+        {"params": params}, emb, jnp.asarray(enc_mask), method=T5.encode
+    )
+    cache, full_bias = model.apply(
+        {"params": params}, enc_out, max_len, method=T5.init_cache
+    )
+
+    def step(tokens, cache, i):
+        return model.apply(
+            {"params": params}, tokens, cache, i, full_bias, jnp.asarray(enc_mask),
+            method=T5.decode_step,
+        )
+
+    ours = np.asarray(greedy_decode(step, cache, b, max_len, 0, 1, 0))
+    # HF pads shorter outputs; compare up to HF's length
+    t_hf = want.shape[1]
+    np.testing.assert_array_equal(ours[:, :t_hf], want)
