@@ -15,7 +15,7 @@ the K^3 cube — exact for the top-K of a sum of independent terms.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

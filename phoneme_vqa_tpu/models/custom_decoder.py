@@ -16,7 +16,7 @@ biggest inference defect.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,6 @@ from .latr import LaTr, LaTrConfig, t5_config_from_yaml, vit_config_from_yaml
 from .prestu import PreSTU
 from .sal import SaLConfig, SaLFusion
 from .t5 import T5Config
-from .vit import ViTConfig
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,28 +21,16 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.registry import MODEL_CONFIGS, MODELS
-from .custom_decoder import (
-    Cache,
-    CustomDecoderConfig,
-    DecoderLayer,
-    sinusoidal_table,
-)
-from .customized import (
-    CustomizedLaTr_config,
-    CustomizedLaTrConfig,
-    CustomizedSaL_config,
-    CustomizedSaLConfig,
-    _CustomDecodeMixin,
-    decoder_config_from_yaml,
-)
+from ..utils.registry import MODELS
+from .custom_decoder import CustomDecoderConfig, DecoderLayer, sinusoidal_table
+from .customized import CustomizedSaLConfig, _CustomDecodeMixin
 from .latr import LaTr, LaTrConfig
 from .prestu import PreSTU
 from .sal import SaLFusion

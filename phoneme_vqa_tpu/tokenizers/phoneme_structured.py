@@ -18,7 +18,7 @@ identical indices across all three parts: every part starts
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..data.loader import num_batches
 from ..utils.logger import get_logger
-from ..utils.registry import EXECUTORS, MODEL_CONFIGS, MODELS, TOKENIZERS
+from ..utils.registry import EXECUTORS, TOKENIZERS
 from .latr_executor import LaTrExecutor
 from .optim import build_optimizer, linear_warmup_schedule
 from .prestu_executor import PreSTUExecutor

@@ -8,13 +8,12 @@ from __future__ import annotations
 from typing import Dict
 
 import numpy as np
-import pandas as pd
 
 from ..data.adapters import textlayout_obj_adapt, textlayout_ocr_adapt
 from ..data.sal import SaLDataset
 from ..tokenizers.backbone import load_backbone_tokenizer
 from ..utils.logger import get_logger
-from ..utils.registry import EXECUTORS, MODEL_CONFIGS, MODELS
+from ..utils.registry import EXECUTORS
 from .latr_executor import LaTrExecutor
 
 log = get_logger(__name__)
