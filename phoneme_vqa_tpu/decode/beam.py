@@ -126,15 +126,11 @@ def multi_head_beam_decode(
         # per-component top-k then exact K^3 cube combine
         comp_scores = []
         comp_tokens = []
-        for c, logits in enumerate(logits_tuple):
+        for logits in logits_tuple:
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(b, k, -1)
-            if c == stop_component:
-                pad_only = jnp.full((logp.shape[-1],), NEG).at[pad_id].set(0.0)
-                logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
-            else:
-                # finished rows: other components emit pad at no extra cost
-                pad_only = jnp.full((logp.shape[-1],), NEG).at[pad_id].set(0.0)
-                logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+            # finished beams may only emit pad in every component, at no cost
+            pad_only = jnp.full((logp.shape[-1],), NEG).at[pad_id].set(0.0)
+            logp = jnp.where(finished[:, :, None], pad_only[None, None], logp)
             s, t = lax.top_k(logp, k)  # (B, K, k)
             comp_scores.append(s)
             comp_tokens.append(t)
