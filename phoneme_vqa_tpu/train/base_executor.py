@@ -194,6 +194,22 @@ class BaseExecutor:
             return results, score
         return score
 
+    def validate_loss(self, batch_size: int = None) -> float:
+        """Mean teacher-forced loss over the validation set (the reference's
+        Customized/Phoneme executors carry an equivalent `_evaluate` val-loss
+        loop, e.g. PhonemeLaTr_Executor.py:228-244, though their train loops
+        never call it; available here for monitoring)."""
+        from ..data.loader import batch_iterator
+
+        c = self.config
+        batch_size = batch_size or c.EVAL_BATCH_SIZE
+        loss_fn = jax.jit(self._loss_from_batch)
+        total, n = 0.0, 0
+        for batch, _ in batch_iterator(self.val_data, batch_size, drop_last=True):
+            total += float(loss_fn(self.state.params, self._shard(batch)))
+            n += 1
+        return total / max(n, 1)
+
     # -- checkpointing -----------------------------------------------------------
 
     def _ckpt_tree(self):
@@ -332,16 +348,30 @@ class BaseExecutor:
             self._generate_fns[max_length] = self._build_generate_fn(max_length)
         return self._generate_fns[max_length]
 
+    def _inference_params(self):
+        """bf16 inference weights when the model computes in bf16 (halves the
+        weight-read traffic that dominates the decode loop); f32 training
+        masters are untouched."""
+        if getattr(self.model_config.t5, "dtype", None) == jnp.bfloat16:
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.state.params,
+            )
+        return self.state.params
+
     def infer(self, dataset, batch_size: int, max_length: int) -> List[str]:
         from ..data.loader import batch_iterator
 
         generate = self._get_generate_fn(max_length)
+        params = self._inference_params()
         out_rows: List = []
         batches = self._maybe_prefetch(
             batch_iterator(dataset, batch_size, pad_final=True)
         )
         for batch, n_valid in batches:
-            ids = generate(self.state.params, self._shard(self._model_batch(batch)))
+            ids = generate(params, self._shard(self._model_batch(batch)))
             out_rows.extend(np.asarray(ids)[:n_valid].tolist())
         return self._decode_rows(out_rows)
 

@@ -109,3 +109,13 @@ def test_bfloat16_end_to_end(tmp_path):
     assert np.isfinite(loss)
     preds = ex.infer(ex.val_data, 8, 6)
     assert len(preds) == 6
+
+
+def test_validate_loss(tmp_path):
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=1)
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    # val set has 6 rows < EVAL_BATCH_SIZE 8 with drop_last -> use batch 4... use 2
+    loss = ex.validate_loss(batch_size=2)
+    assert np.isfinite(loss) and loss > 0

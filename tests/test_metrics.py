@@ -72,3 +72,28 @@ def test_perfect_predictions():
     assert score["F1"] == 1.0
     assert score["ROUGE"] == 1.0
     assert score["BLEU"][0] > 0.99
+
+
+@needs_reference
+def test_metric_fuzz_parity():
+    """Randomized parity over many small corpora (exercises BLEU brevity,
+    CIDEr idf/length-penalty, LCS ties, empty strings)."""
+    import random
+
+    ref_eval = load_reference_package("evaluation")
+    words = ["màu", "đỏ", "xanh", "quán", "7", "giờ", "phở", "a", "bb", ""]
+    rng = random.Random(42)
+    for trial in range(15):
+        n = rng.randint(2, 8)
+        gts, gens = {}, {}
+        for i in range(n):
+            key = f"k{i}"
+            gts[key] = [
+                " ".join(rng.choices(words, k=rng.randint(1, 6))).strip() or "x"
+                for _ in range(rng.randint(1, 2))
+            ]
+            gens[key] = [" ".join(rng.choices(words, k=rng.randint(0, 6))).strip()]
+        want = ref_eval.compute_scores(gts, gens)
+        got = compute_scores(gts, gens)
+        _assert_close(got[0], want[0], f"trial{trial}.corpus")
+        _assert_close(got[1], want[1], f"trial{trial}.per-sample")
