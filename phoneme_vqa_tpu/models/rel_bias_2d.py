@@ -21,6 +21,7 @@ attention applies the key mask regardless.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +44,10 @@ class Sal2DPositionBias(nn.Module):
     num_buckets: int = 32
     max_distance_1d: int = 128
     max_distance_scp: int = 100
+    # train-time distance augmentation x U(0.8, 1.25)
+    # (RelativePositionBiasBase augmentation flag, SaL_utils.py:85-87;
+    # present in the reference API but never enabled by its configs)
+    augmentation: bool = False
 
     @nn.compact
     def __call__(
@@ -51,8 +56,14 @@ class Sal2DPositionBias(nn.Module):
         ocr_coordinates: jnp.ndarray,  # (B, L_ocr, 4) float in [0, 1]
         max_ques: int,
         max_ocr: int,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         """Returns (B, H, L, L) f32 additive bias."""
+        aug_scale = 1.0
+        if self.augmentation and not deterministic:
+            aug_scale = jax.random.uniform(
+                self.make_rng("dropout"), (), minval=0.8, maxval=1.25
+            )
         embed_1d = nn.Embed(
             self.num_buckets, self.num_heads, param_dtype=jnp.float32, name="rel1d"
         )
@@ -61,8 +72,9 @@ class Sal2DPositionBias(nn.Module):
         )
 
         pos = jnp.arange(seq_len)
+        rel_1d = (pos[None, :] - pos[:, None]).astype(jnp.float32) * aug_scale
         buckets_1d = relative_position_bucket(
-            pos[None, :] - pos[:, None],
+            rel_1d.astype(jnp.int32),
             bidirectional=True,
             num_buckets=self.num_buckets,
             max_distance=self.max_distance_1d,
@@ -77,6 +89,7 @@ class Sal2DPositionBias(nn.Module):
         cell = ix * GRID + iy  # (B, L_ocr)
         table = jnp.asarray(_grid_distance_table())
         dist = table[cell[:, :, None], cell[:, None, :]]  # (B, L_ocr, L_ocr)
+        dist = (dist.astype(jnp.float32) * aug_scale).astype(jnp.int32)
         buckets_scp = relative_position_bucket(
             dist,
             bidirectional=True,

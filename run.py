@@ -29,6 +29,18 @@ def parse_args():
 def main():
     args = parse_args()
     config = get_config(args.config_file)
+    try:  # persistent XLA compilation cache (remote compiles are slow)
+        import os
+
+        import jax
+
+        cache_dir = config.get("COMPILE_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     executor_cls = EXECUTORS.get(config.EXECUTOR)
     executor = executor_cls(config, args.mode, args.evaltype, args.predicttype)
     executor.run()

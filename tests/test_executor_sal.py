@@ -61,3 +61,19 @@ def test_sal_train_eval_predict(sal_trained):
         config, mode="predict", predicttype="best"
     ).run()
     assert len(results) == 6 and set(results[0]) == {"gens", "gts"}
+
+
+def test_sal_bias_augmentation_flag():
+    """Train-time distance augmentation scales buckets only when enabled and
+    non-deterministic (reference API flag, never enabled by its configs)."""
+    from phoneme_vqa_tpu.models.rel_bias_2d import Sal2DPositionBias
+
+    coords = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (1, 5, 4)), jnp.float32)
+    mod = Sal2DPositionBias(num_heads=2, augmentation=True)
+    params = mod.init(jax.random.PRNGKey(0), 10, coords, 2, 5)
+    det = mod.apply(params, 10, coords, 2, 5)
+    det2 = mod.apply(params, 10, coords, 2, 5, True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    aug = mod.apply(params, 10, coords, 2, 5, False,
+                    rngs={"dropout": jax.random.PRNGKey(9)})
+    assert aug.shape == det.shape
