@@ -113,6 +113,11 @@ class BaseExecutor:
                 best_acc, best_epoch = acc, epoch
 
             self.state = self.state.replace(epoch=epoch)
+            self._log_metrics(
+                {"epoch": epoch, "train_loss": float(train_loss),
+                 **{k: (list(map(float, v)) if isinstance(v, (list, tuple))
+                        else float(v)) for k, v in scores.items()}}
+            )
             if self.config.SAVE:
                 # the reference saves best only on strict improvement
                 # (base_executor.py:100); we additionally seed best_ckp on the
@@ -122,6 +127,7 @@ class BaseExecutor:
                     self._save_checkpoint("best")
                 self._save_checkpoint("last")
 
+        self.ckpt.wait()  # drain async checkpoint writes
         log.info(
             f"\n# BEST RESULT:\n\tEpoch: {best_epoch}\n\tBest Accuracy: {best_acc:.4f}"
         )
@@ -223,6 +229,21 @@ class BaseExecutor:
 
     def _save_checkpoint(self, name: str):
         self.ckpt.save(name, self._ckpt_tree())
+
+    def _log_metrics(self, record: dict) -> None:
+        """Structured per-epoch metrics (SURVEY §5: structured observability).
+        Appends one JSON line to SAVE_PATH/metrics.jsonl."""
+        if not self.config.get("SAVE_PATH"):
+            return
+        import time as _time
+
+        record = dict(record, step=int(self.state.step), wall_time=_time.time())
+        os.makedirs(self.config.SAVE_PATH, exist_ok=True)
+        with open(
+            os.path.join(self.config.SAVE_PATH, "metrics.jsonl"), "a",
+            encoding="utf-8",
+        ) as f:
+            f.write(json.dumps(record, ensure_ascii=False) + "\n")
 
     def _maybe_resume(self):
         """Auto-resume full training state from last_ckp if present

@@ -31,17 +31,25 @@ class CheckpointManager:
     def _dir(self, name: str, root: Optional[str] = None) -> str:
         return os.path.join(root or self.save_path, f"{name}_ckp")
 
-    def save(self, name: str, tree: Any) -> None:
+    def save(self, name: str, tree: Any, block: bool = False) -> None:
+        """Async save (orbax stages and writes in the background so the train
+        loop keeps running — SURVEY §5's preemption-safe cadence plan);
+        ``block=True`` or a subsequent save/restore waits for completion."""
         path = self._dir(name)
         self._ckptr.save(path, tree, force=True)
-        self._ckptr.wait_until_finished()
+        if block:
+            self._ckptr.wait_until_finished()
         log.info(f"!---------Saved {name}_ckp----------!")
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._dir(name))
 
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure of ``target`` (shape/dtype template)."""
+        self._ckptr.wait_until_finished()
         for root in (self.save_path, "./models"):
             path = self._dir(name, root)
             if os.path.isdir(path):
@@ -54,6 +62,7 @@ class CheckpointManager:
     def restore_raw(self, name: str) -> Any:
         """Restore without a template (plain nested dict of arrays) — used by
         eval/predict, which need only the params subtree."""
+        self._ckptr.wait_until_finished()
         for root in (self.save_path, "./models"):
             path = self._dir(name, root)
             if os.path.isdir(path):

@@ -119,3 +119,17 @@ def test_validate_loss(tmp_path):
     # val set has 6 rows < EVAL_BATCH_SIZE 8 with drop_last -> use batch 4... use 2
     loss = ex.validate_loss(batch_size=2)
     assert np.isfinite(loss) and loss > 0
+
+
+def test_metrics_jsonl_written(tmp_path):
+    import json as _json
+
+    paths = make_latr_fixture(tmp_path)
+    save_path = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save_path, NUM_EPOCHS=2)
+    config = get_config(yaml_path)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+    lines = open(os.path.join(save_path, "metrics.jsonl"), encoding="utf-8").read().splitlines()
+    assert len(lines) == 2
+    rec = _json.loads(lines[-1])
+    assert rec["epoch"] == 2 and "train_loss" in rec and "Accuracy" in rec
