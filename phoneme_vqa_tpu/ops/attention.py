@@ -22,12 +22,12 @@ from jax import lax
 NEG_INF = -1e9
 
 # Pallas fused-attention dispatch (see ops/flash_attention.py). Measured on
-# 1x TPU v5e at this framework's shapes (B=32, H=12, L=327, D=64, bf16):
-# XLA-default attention 2.9ms vs the Pallas kernel 3.2ms — XLA's own fusion
-# already avoids materializing logits in HBM at these sequence lengths, so
-# the kernel is OFF by default and kept as an opt-in (`enable_flash(True)`)
-# for regimes where it wins (longer sequences / more heads). Single-step
-# decode (Lq == 1) and CPU always use the XLA path.
+# 1x TPU v5e at this framework's shapes (B=32, H=12, L=327, D=64, bf16,
+# dispatch-amortized): XLA-default attention 1.5ms vs the Pallas kernel
+# 3.3ms — XLA's fusion pipeline is already near its bandwidth roofline at
+# these sequence lengths, so the kernel is OFF by default and kept as an
+# opt-in (`enable_flash(True)`) for regimes where it wins (longer
+# sequences). Single-step decode (Lq == 1) and CPU always use the XLA path.
 FLASH_ENABLED = False
 _FLASH_MIN_QLEN = 16
 

@@ -52,7 +52,7 @@ def _attn_kernel(
         keep = mask_ref[0, 0] != 0  # (LK,)
         logits = jnp.where(keep[None, :], logits, NEG_INF)
     if causal:
-        iq = pl.program_id(2)
+        iq = pl.program_id(1)
         rows = iq * block_q + lax.broadcasted_iota(
             jnp.int32, logits.shape, 0
         )
@@ -97,13 +97,13 @@ def fused_attention(
     maskp = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, lk_pad - lk)))
     maskp = maskp[:, None, :]
 
-    grid = (b, h, lq_pad // block_q)
+    grid = (h, lq_pad // block_q, b)
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda ib, ih, iq: (ib, ih, iq, 0),
+        pl.BlockSpec((1, 1, block_q, d_pad), lambda ih, iq, ib: (ib, ih, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk_pad, d_pad), lambda ib, ih, iq: (ib, ih, 0, 0),
+        pl.BlockSpec((1, 1, lk_pad, d_pad), lambda ih, iq, ib: (ib, ih, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk_pad, d_pad), lambda ib, ih, iq: (ib, ih, 0, 0),
+        pl.BlockSpec((1, 1, lk_pad, d_pad), lambda ih, iq, ib: (ib, ih, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qp, kp, vp]
@@ -115,20 +115,22 @@ def fused_attention(
             ((0, 0), (0, 0), (0, lq_pad - lq), (0, lk_pad - lk)),
         )
         if bias_b == 1:
+            # index_map ignores ib -> the block is revisited (not re-fetched)
+            # across the fastest-varying batch dimension
             bspec = pl.BlockSpec(
-                (1, 1, block_q, lk_pad), lambda ib, ih, iq: (0, ih, iq, 0),
+                (1, 1, block_q, lk_pad), lambda ih, iq, ib: (0, ih, iq, 0),
                 memory_space=pltpu.VMEM,
             )
         else:
             bspec = pl.BlockSpec(
-                (1, 1, block_q, lk_pad), lambda ib, ih, iq: (ib, ih, iq, 0),
+                (1, 1, block_q, lk_pad), lambda ih, iq, ib: (ib, ih, iq, 0),
                 memory_space=pltpu.VMEM,
             )
         in_specs.append(bspec)
         args.append(biasp)
 
     in_specs.append(
-        pl.BlockSpec((1, 1, lk_pad), lambda ib, ih, iq: (ib, 0, 0),
+        pl.BlockSpec((1, 1, lk_pad), lambda ih, iq, ib: (ib, 0, 0),
                      memory_space=pltpu.VMEM)
     )
     args.append(maskp)
@@ -146,7 +148,7 @@ def fused_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad), lambda ib, ih, iq: (ib, ih, iq, 0),
+            (1, 1, block_q, d_pad), lambda ih, iq, ib: (ib, ih, iq, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_pad, d_pad), q.dtype),
