@@ -1,0 +1,121 @@
+"""Secondary benchmark: LaTr-base TRAINING throughput on TPU.
+
+Not the driver's headline metric (that is bench.py's eval decode); run
+manually to track training samples/sec/chip. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from phoneme_vqa_tpu.config import Config
+    from phoneme_vqa_tpu.models.latr import LaTr, LaTr_config
+    from phoneme_vqa_tpu.train.optim import cross_entropy_loss, epoch_decay_schedule
+
+    B, L_OCR, L_Q, L_A, IMG, V = 16, 100, 30, 32, 224, 36096
+    cfg = LaTr_config().build(Config({"t5_vocab_size": V, "DTYPE": "bfloat16"}))
+    model = LaTr(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixel_values": rng.randn(B, 3, IMG, IMG).astype(np.float32),
+        "coordinates": rng.randint(0, 1000, (B, L_OCR, 6)).astype(np.int32),
+        "input_ids": rng.randint(3, V, (B, L_Q)).astype(np.int32),
+        "src_attention_mask": np.ones((B, L_Q), np.int32),
+        "ocr_attention_mask": np.ones((B, L_OCR), np.int32),
+        "tokenized_ocr": rng.randint(3, V, (B, L_OCR)).astype(np.int32),
+        "label_ids": rng.randint(3, V, (B, L_A)).astype(np.int32),
+        "label_attention_mask": np.ones((B, L_A), np.int32),
+    }
+    model_keys = [k for k in batch if not k.startswith("label")]
+
+    abstract = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        {k: batch[k][:1] for k in model_keys},
+        batch["label_ids"][:1, :-1],
+        batch["label_attention_mask"][:1, :-1],
+    )["params"]
+    r = np.random.RandomState(0)
+    params = jax.device_put(
+        jax.tree.map(
+            lambda s: jnp.asarray(
+                (r.standard_normal(s.shape) * 0.02).astype(np.float32)
+            ),
+            abstract,
+        )
+    )
+    tx = optax.adam(epoch_decay_schedule(5e-5, 1000), b1=0.9, b2=0.98, eps=1e-9)
+    opt_state = jax.device_put(tx.init(params))
+    batch = jax.device_put(batch)
+
+    def loss_fn(params, batch):
+        logits = model.apply(
+            {"params": params},
+            {k: batch[k] for k in model_keys},
+            batch["label_ids"][:, :-1],
+            batch["label_attention_mask"][:, :-1],
+        )
+        return cross_entropy_loss(logits, batch["label_ids"][:, 1:], 0)
+
+    iters = 8
+
+    @jax.jit
+    def run_many(params, opt_state, batch):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=iters
+        )
+        return losses
+
+    t0 = time.perf_counter()
+    losses = np.asarray(run_many(params, opt_state, batch))
+    log(f"compile+first: {time.perf_counter() - t0:.1f}s, losses {losses[:3]}")
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        losses = np.asarray(run_many(params, opt_state, batch))
+        best = min(best, time.perf_counter() - t0)
+    throughput = B * iters / best
+    log(f"TPU train: {throughput:.1f} samples/s ({best / iters * 1000:.1f} ms/step)")
+    print(
+        json.dumps(
+            {
+                "metric": "latr_train_samples_per_sec_per_chip",
+                "value": round(throughput, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": -1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
