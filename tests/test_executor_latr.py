@@ -54,11 +54,22 @@ def test_predict_mode_writes_results(trained):
 
 
 def test_resume_from_last(trained):
-    """Re-instantiating the train executor resumes from last_ckp."""
+    """Re-instantiating the train executor resumes from last_ckp with the
+    exact trained parameter values (not a fresh init)."""
+    import jax
+
     config, _, _ = trained
     executor = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
     assert int(executor.state.epoch) == 2
     assert executor.best_score >= 0.0
+    # params differ from a fresh random init and match the saved ones
+    fresh = executor._init_params()
+    restored_leaf = np.asarray(jax.tree.leaves(executor.state.params)[0])
+    fresh_leaf = np.asarray(jax.tree.leaves(fresh)[0])
+    assert not np.array_equal(restored_leaf, fresh_leaf)
+    raw = executor.ckpt.restore_raw("last")
+    saved_leaf = np.asarray(jax.tree.leaves(raw["params"])[0])
+    np.testing.assert_array_equal(restored_leaf, saved_leaf)
 
 
 def test_training_reduces_loss(tmp_path):
