@@ -201,3 +201,27 @@ def test_get_tone_strips_and_recomposes():
     assert tone == "<sắc>" and base == "tiêng"
     tone, base = get_tone("ngang")
     assert tone is None and base == "ngang"
+
+
+@needs_reference
+def test_fuzz_parity_multi_tone_and_long():
+    """Adversarial fuzz: multiple tone marks per word, long strings, mixed
+    scripts — both analyzer variants must still match the reference."""
+    import random
+
+    ref5 = load_reference_module("decode/word_processing.py", "decode_wp")
+    ref3 = load_reference_module(
+        "core/tokenizer/modules/word_processing.py", "tok_wp"
+    )
+    alphabet = "aăâbcdđeêghiklmnoôơpqrstuưvxyz019!.-好ж"
+    marks = ["̀", "́", "̃", "̉", "̣"]
+    rng = random.Random(7)
+    for _ in range(1500):
+        n = rng.randint(1, 12)
+        chars = [rng.choice(alphabet) for _ in range(n)]
+        # sprinkle 0-3 tone marks at random positions
+        for _ in range(rng.randint(0, 3)):
+            chars.insert(rng.randrange(len(chars) + 1), rng.choice(marks))
+        s = unicodedata.normalize("NFC", "".join(chars))
+        assert is_vietnamese_5(s) == ref5.is_Vietnamese(s), repr(s)
+        assert is_vietnamese_3(s) == ref3.is_Vietnamese(s), repr(s)
