@@ -10,14 +10,49 @@ destination leaves keep their random init; a summary is logged.
 
 from __future__ import annotations
 
+import dataclasses
 import os
-from typing import Dict
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..utils.logger import get_logger
 
 log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ImportReport:
+    """Every HF key's fate, so a partial import can never pass silently.
+
+    * ``mapped``      — HF keys copied into the tree
+    * ``failed``      — (hf_key, reason) pairs: shape mismatch / missing dest
+    * ``unused``      — HF keys present in the checkpoint but not in our map
+    """
+
+    mapped: List[str] = dataclasses.field(default_factory=list)
+    failed: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
+    unused: List[str] = dataclasses.field(default_factory=list)
+
+    def merge(self, other: "ImportReport") -> None:
+        self.mapped += other.mapped
+        self.failed += other.failed
+        self.unused += other.unused
+
+    def log_summary(self, what: str) -> None:
+        log.info(f"{what} import: mapped {len(self.mapped)} tensors")
+        for key, reason in self.failed:
+            log.warning(f"{what} import FAILED for {key!r}: {reason}")
+        if self.unused:
+            log.warning(
+                f"{what} import: {len(self.unused)} checkpoint tensors unused "
+                f"(first few: {self.unused[:5]})"
+            )
+
+    def raise_if_failed(self, what: str) -> None:
+        if self.failed:
+            lines = "\n".join(f"  {k}: {r}" for k, r in self.failed)
+            raise ValueError(f"{what} weight import failed for:\n{lines}")
 
 
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -81,47 +116,63 @@ def _t5_block_map(prefix: str, i: int, decoder: bool) -> Dict[str, str]:
     return m
 
 
-def import_t5_params(t5_params: dict, sd: Dict[str, np.ndarray]) -> dict:
-    """Map a HF T5 state_dict into our T5 param subtree (in place copy)."""
+def import_t5_params(
+    t5_params: dict,
+    sd: Dict[str, np.ndarray],
+    strict: bool = False,
+    report: ImportReport = None,
+) -> dict:
+    """Map a HF T5 state_dict into our T5 param subtree (in place copy).
+
+    Loud by design: every key that cannot be placed (missing destination,
+    shape mismatch — e.g. SaL's +1 context-token vocab row vs a stock
+    checkpoint's ``shared.weight``) is logged as a WARNING and recorded in
+    ``report.failed``; ``strict=True`` raises instead."""
     import copy
 
     out = copy.deepcopy(t5_params)
+    rep = report if report is not None else ImportReport()
 
-    def put(path: str, value: np.ndarray):
+    def put(path: str, value: np.ndarray) -> str:
+        """Returns '' on success, else a failure reason."""
         node = out
         parts = path.split("/")
         for p in parts[:-1]:
             if p not in node:
-                return False
+                return f"no destination module {p!r} on path {path!r}"
             node = node[p]
         leaf = parts[-1]
         if leaf not in node:
-            return False
+            return f"no destination leaf {leaf!r} on path {path!r}"
         target = node[leaf]
         if not isinstance(target, dict):
-            return False
+            return f"destination {path!r} is not a module"
         key = next(
             (k for k in ("kernel", "embedding", "weight") if k in target), None
         )
         if key is None:
-            return False
+            return f"destination {path!r} has no kernel/embedding/weight"
         tgt = target[key]
         # flax Dense kernels are (in, out); HF Linear weights are (out, in)
         v = value.T if (key == "kernel" and tgt.shape == value.T.shape) else value
         if tgt.shape != v.shape:
-            return False
+            return (
+                f"shape mismatch at {path!r}: ours {tuple(tgt.shape)} vs "
+                f"checkpoint {tuple(v.shape)}"
+            )
         target[key] = np.asarray(v, np.float32)
-        return True
-
-    hits = 0
+        return ""
     mapping = {
         "shared.weight": "shared",
         "encoder.final_layer_norm.weight": "encoder/final_ln",
         "decoder.final_layer_norm.weight": "decoder/final_ln",
         "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": "encoder/rel_bias/rel_embedding",
         "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": "decoder/rel_bias/rel_embedding",
-        "lm_head.weight": "lm_head",
     }
+    # tied models re-export shared.weight as lm_head.weight; only map it when
+    # we actually carry a separate head
+    if "lm_head" in t5_params:
+        mapping["lm_head.weight"] = "lm_head"
     n_enc = len([k for k in t5_params["encoder"] if k.startswith("block_")])
     n_dec = len([k for k in t5_params["decoder"] if k.startswith("block_")])
     for i in range(n_enc):
@@ -132,29 +183,60 @@ def import_t5_params(t5_params: dict, sd: Dict[str, np.ndarray]) -> dict:
             mapping[hf_k] = f"decoder/{ours}"
 
     for hf_key, our_path in mapping.items():
-        if hf_key in sd and put(our_path, sd[hf_key]):
-            hits += 1
+        if hf_key not in sd:
+            continue
+        reason = put(our_path, sd[hf_key])
+        if reason:
+            rep.failed.append((hf_key, reason))
+        else:
+            rep.mapped.append(hf_key)
 
-    # embeddings: flax nn.Embed stores under 'embedding'
-    if "shared.weight" in sd:
-        out["shared"]["embedding"] = np.asarray(sd["shared.weight"], np.float32)
-        hits += 1
-    log.info(f"T5 import: mapped {hits} tensors")
+    mapped_set = set(mapping)
+    rep.unused += [
+        k for k in sd
+        if k not in mapped_set
+        # HF T5 ties lm_head to shared and re-exports both spellings
+        and k not in ("encoder.embed_tokens.weight", "decoder.embed_tokens.weight",
+                      "lm_head.weight")
+    ]
+    if report is None:
+        rep.log_summary("T5")
+    if strict:
+        rep.raise_if_failed("T5")
     return out
 
 
-def import_vit_params(vit_params: dict, sd: Dict[str, np.ndarray]) -> dict:
+def import_vit_params(
+    vit_params: dict,
+    sd: Dict[str, np.ndarray],
+    strict: bool = False,
+    report: ImportReport = None,
+) -> dict:
     """Map a HF ViTModel state_dict into our ViT param subtree."""
     import copy
 
     out = copy.deepcopy(vit_params)
+    rep = report if report is not None else ImportReport()
 
     def put(path, value):
         node = out
         parts = path.split("/")
-        for p in parts[:-1]:
-            node = node[p]
+        try:
+            for p in parts[:-1]:
+                node = node[p]
+            tgt = node[parts[-1]]
+        except (KeyError, TypeError):
+            rep.failed.append((path, f"no destination {path!r}"))
+            return
+        if tuple(np.shape(tgt)) != tuple(np.shape(value)):
+            rep.failed.append(
+                (path,
+                 f"shape mismatch at {path!r}: ours {tuple(np.shape(tgt))} vs "
+                 f"checkpoint {tuple(np.shape(value))}")
+            )
+            return
         node[parts[-1]] = np.asarray(value, np.float32)
+        rep.mapped.append(path)
 
     put("cls_token", sd["embeddings.cls_token"])
     put("position_embeddings", sd["embeddings.position_embeddings"])
@@ -187,19 +269,33 @@ def import_vit_params(vit_params: dict, sd: Dict[str, np.ndarray]) -> dict:
         ):
             put(f"block_{i}/{ours_ln}/scale", sd[f"{hf}.{hf_ln}.weight"])
             put(f"block_{i}/{ours_ln}/bias", sd[f"{hf}.{hf_ln}.bias"])
-    log.info(f"ViT import: mapped {n_layers} blocks + embeddings")
+    if report is None:
+        rep.log_summary("ViT")
+    if strict:
+        rep.raise_if_failed("ViT")
     return out
 
 
-def import_latr_weights(params: dict, weights_root: str) -> dict:
+def import_latr_weights(
+    params: dict, weights_root: str, strict: bool = False
+) -> dict:
     """weights_root may contain 't5/' and 'vit/' checkpoint dirs."""
     import copy
 
     out = copy.deepcopy(params)
+    report = ImportReport()
     t5_dir = os.path.join(weights_root, "t5")
     if os.path.isdir(t5_dir):
-        out["t5"] = import_t5_params(out["t5"], _load_state_dict(t5_dir))
-    vit_dir = os.path.join(weights_root, "vit")
-    if os.path.isdir(vit_dir) and "vit" in out:
-        out["vit"] = import_vit_params(out["vit"], _load_state_dict(vit_dir))
+        out["t5"] = import_t5_params(
+            out["t5"], _load_state_dict(t5_dir), report=report
+        )
+    vit_dir = os.path.isdir(os.path.join(weights_root, "vit"))
+    if vit_dir and "vit" in out:
+        out["vit"] = import_vit_params(
+            out["vit"], _load_state_dict(os.path.join(weights_root, "vit")),
+            report=report,
+        )
+    report.log_summary("LaTr weights")
+    if strict:
+        report.raise_if_failed("LaTr weights")
     return out

@@ -2,13 +2,21 @@
 
 The reference has NO distributed backend — single device via
 ``model.to(config.DEVICE)`` (`/root/reference/core/executor/base_executor.py:194`).
-This module is the framework's first-class TPU equivalent: a named
-`jax.sharding.Mesh` over all local devices with a ``data`` axis (v5e-8 slice
-→ 8-way data parallel over ICI), batch leaves sharded on axis 0, parameters
-replicated. Gradient psums are inserted by XLA from the shardings — no
-explicit collectives in model code. A ``model`` axis slot is reserved for
-tensor parallelism (vit5-base fits one chip; TP is declared out of scope at
-this scale, matching SURVEY §2.7).
+This module is the framework's first-class TPU equivalent: a named 2-axis
+``jax.sharding.Mesh`` (``data`` x ``model``) over the local devices.
+
+* ``data`` — batch leaves sharded on axis 0 (v5e-8 slice → 8-way data
+  parallel over ICI). Gradient psums are inserted by XLA from the shardings —
+  no explicit collectives in model code.
+* ``model`` — Megatron-style tensor parallelism for the big matmuls: FFN
+  ``wi*`` column-split / ``wo`` row-split, attention q/k/v column-split /
+  ``o`` row-split, embeddings row-split over the vocab. The SAME path-keyed
+  rule shards the optimizer state (adam mu/nu subtrees carry the parameter
+  path names), so optimizer memory scales down with TP too.
+
+Configured from YAML via ``MESH: {data: N, model: M}`` (data: -1 = all
+remaining devices; default is pure DP). Multi-host: per-host batch shards are
+assembled into global arrays with ``jax.make_array_from_process_local_data``.
 """
 
 from __future__ import annotations
@@ -20,11 +28,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def create_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+def create_mesh(mesh_cfg=None, devices=None) -> Mesh:
+    """``mesh_cfg`` is the YAML ``MESH`` dict ({"data": N, "model": M}) or
+    None (pure data-parallel over every local device)."""
+    devices = list(devices if devices is not None else jax.devices())
+    tp = int(mesh_cfg.get("model", 1)) if mesh_cfg else 1
+    dp = int(mesh_cfg.get("data", -1)) if mesh_cfg else -1
+    if dp <= 0:
+        dp = max(1, len(devices) // tp)
+    n = dp * tp
+    if n > len(devices):
+        raise ValueError(
+            f"MESH data={dp} x model={tp} needs {n} devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.asarray(devices[:n]).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS)
+    )
+
+
+def mesh_size(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else int(np.prod(mesh.devices.shape))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -35,14 +61,66 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
+def tree_shardings(mesh: Mesh, tree):
+    """Path-keyed TP sharding rules for a parameter (or optimizer-state) tree.
+
+    With ``model`` axis size 1 everything is replicated (pure DP). The rules
+    only fire on 2-D leaves whose split dimension divides the TP degree;
+    anything else stays replicated — correct by construction, XLA inserts the
+    all-gathers/psums the shardings imply."""
+    tp = int(mesh.shape[MODEL_AXIS])
+    repl = replicated(mesh)
+    col = NamedSharding(mesh, P(None, MODEL_AXIS))
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    def rule(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        if tp == 1 or len(shape) != 2:
+            return repl
+        names = "/".join(getattr(p, "key", str(p)) for p in path)
+        if shape[-1] % tp == 0 and (
+            any(k in names for k in ("wi_0", "wi_1", "/wi/", "/q/", "/k/", "/v/"))
+            or names.endswith(("q/kernel", "k/kernel", "v/kernel"))
+        ):
+            return col
+        if shape[0] % tp == 0 and (
+            "wo" in names or "/o/" in names or names.endswith("o/kernel")
+        ):
+            return row
+        if shape[0] % tp == 0 and "embedding" in names:
+            return row
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def place_tree(mesh: Optional[Mesh], tree):
+    """Place a param/opt-state tree on the mesh per `tree_shardings`."""
+    if mesh is None:
+        return jax.device_put(tree)
+    return jax.device_put(tree, tree_shardings(mesh, tree))
+
+
+def shard_batch(mesh: Optional[Mesh], batch: dict, process_local: bool = False):
     """Place every batch leaf with its first axis split over the data axis.
 
+    ``process_local=True`` means each host passed only its own rows (the
+    loader's ``shard/num_shards`` slice): the local shards are assembled into
+    one global array. Otherwise the batch is the full global batch (and must
+    be identical on every host).
+
     Falls back to replicated placement when the batch doesn't divide the
-    mesh (correct, just not data-parallel) — keeps odd batch sizes working."""
-    if mesh is None or np.prod(mesh.devices.shape) == 1:
+    data axis (correct, just not data-parallel) — keeps odd batch sizes
+    working."""
+    if mesh is None or mesh_size(mesh) == 1:
         return jax.device_put(batch)
-    n = int(np.prod(mesh.devices.shape))
+    if process_local and jax.process_count() > 1:
+        sh = batch_sharding(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
+    n = int(mesh.shape[DATA_AXIS])
     sizes = {leaf.shape[0] for leaf in jax.tree.leaves(batch)}
     if any(s % n for s in sizes):
         return jax.device_put(batch, replicated(mesh))
@@ -50,7 +128,7 @@ def shard_batch(mesh: Optional[Mesh], batch: dict) -> dict:
 
 
 def replicate_tree(mesh: Optional[Mesh], tree):
-    if mesh is None or np.prod(mesh.devices.shape) == 1:
+    if mesh is None or mesh_size(mesh) == 1:
         return jax.device_put(tree)
     return jax.device_put(tree, replicated(mesh))
 

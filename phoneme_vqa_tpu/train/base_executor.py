@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import evaluation
-from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.mesh import create_mesh, place_tree, shard_batch
 from ..utils.logger import get_logger
 
 log = get_logger(__name__)
@@ -43,7 +43,7 @@ class BaseExecutor:
         self.evaltype = evaltype
         self.predicttype = predicttype
         self.best_score = 0.0
-        self.mesh = create_mesh()
+        self.mesh = create_mesh(config.get("MESH"))
         self._generate_fns: Dict = {}
         if config.get("DEBUG_NANS"):
             from ..utils.profiling import enable_nan_checks
@@ -59,6 +59,7 @@ class BaseExecutor:
             self._build_model()
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        self._place_state()
 
     # -- subclass hooks -------------------------------------------------------
 
@@ -209,7 +210,9 @@ class BaseExecutor:
 
         c = self.config
         batch_size = batch_size or c.EVAL_BATCH_SIZE
-        loss_fn = jax.jit(self._loss_from_batch)
+        if not hasattr(self, "_val_loss_fn"):
+            self._val_loss_fn = jax.jit(self._loss_from_batch)
+        loss_fn = self._val_loss_fn
         total, n = 0.0, 0
         for batch, _ in batch_iterator(self.val_data, batch_size, drop_last=True):
             total += float(loss_fn(self.state.params, self._shard(batch)))
@@ -262,9 +265,21 @@ class BaseExecutor:
     def _load_trained_checkpoint(self, loadtype: str):
         """Eval/predict: restore params only (no optimizer template needed)."""
         restored = self.ckpt.restore_raw(loadtype)
-        params = jax.tree.map(jnp.asarray, restored["params"])
+        params = place_tree(self.mesh, jax.tree.map(np.asarray, restored["params"]))
         self.state = self.state.replace(params=params)
         self.best_score = float(restored["best_score"])
+
+    def _place_state(self):
+        """Shard params + optimizer state over the mesh (TP rules when
+        ``MESH.model > 1``, replicated otherwise). The adam mu/nu subtrees
+        carry the parameter path names, so the same path-keyed rules apply.
+        XLA derives every collective (grad psum over ``data``, activation
+        all-gathers over ``model``) from these placements — the train step
+        itself is sharding-agnostic."""
+        self.state = self.state.replace(
+            params=place_tree(self.mesh, self.state.params),
+            opt_state=place_tree(self.mesh, self.state.opt_state),
+        )
 
     # -- generic train/infer machinery (uniform batch-dict model surface) --------
 
@@ -337,18 +352,28 @@ class BaseExecutor:
 
         c = self.config
         total, it = 0.0, 0
-        n_steps = num_batches(len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True)
+        # multi-host: each host featurizes only its interleaved row slice of
+        # the global batch; shard_batch assembles the global array
+        # (process_count == 1 → identity)
+        host, n_hosts = jax.process_index(), jax.process_count()
+        local_bs = max(1, c.TRAIN_BATCH_SIZE // n_hosts)
+        n_steps = num_batches(
+            len(self.train_data) // n_hosts, local_bs, drop_last=True
+        )
         timer = StepTimer()
         timer.start()
         profile_dir = c.get("PROFILE_DIR") if epoch == 1 else None
         batches = batch_iterator(
-            self.train_data, c.TRAIN_BATCH_SIZE, shuffle=True,
+            self.train_data, local_bs, shuffle=True,
             seed=c.get("SEED", 13) + epoch, drop_last=True,
+            shard=host, num_shards=n_hosts,
         )
         batches = self._maybe_prefetch(batches)
         with maybe_trace(profile_dir, "train_epoch"):
             for batch, _ in batches:
-                self.state, loss = self.train_step(self.state, self._shard(batch))
+                self.state, loss = self.train_step(
+                    self.state, self._shard(batch, process_local=True)
+                )
                 total += float(loss)
                 timer.tick(c.TRAIN_BATCH_SIZE)
                 it += 1
@@ -372,15 +397,22 @@ class BaseExecutor:
     def _inference_params(self):
         """bf16 inference weights when the model computes in bf16 (halves the
         weight-read traffic that dominates the decode loop); f32 training
-        masters are untouched."""
-        if getattr(self.model_config.t5, "dtype", None) == jnp.bfloat16:
-            return jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self.state.params,
-            )
-        return self.state.params
+        masters are untouched. Cached per params object: eval calls within an
+        epoch reuse one cast tree instead of re-casting ~1.5 GB per call."""
+        if getattr(self.model_config.t5, "dtype", None) != jnp.bfloat16:
+            return self.state.params
+        key = (id(self.state.params), int(self.state.step))
+        cached = getattr(self, "_bf16_params_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        casted = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            self.state.params,
+        )
+        self._bf16_params_cache = (key, casted)
+        return casted
 
     def infer(self, dataset, batch_size: int, max_length: int) -> List[str]:
         from ..data.loader import batch_iterator
@@ -418,10 +450,9 @@ class BaseExecutor:
 
             return prefetch(iterator, depth=max(2, int(self.config.NUMWORKERS)))
         return iterator
-        raise NotImplementedError
 
-    def _shard(self, batch: dict) -> dict:
-        return shard_batch(self.mesh, batch)
+    def _shard(self, batch: dict, process_local: bool = False) -> dict:
+        return shard_batch(self.mesh, batch, process_local=process_local)
 
     @property
     def n_devices(self) -> int:

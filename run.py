@@ -29,11 +29,16 @@ def parse_args():
 def main():
     args = parse_args()
     config = get_config(args.config_file)
+    import os
+
+    import jax
+
+    # Honor JAX_PLATFORMS even when a sitecustomize force-selected a backend
+    # at interpreter start (the axon TPU relay does this) — lets
+    # `JAX_PLATFORMS=cpu` drive the CLI on a virtual CPU mesh.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     try:  # persistent XLA compilation cache (remote compiles are slow)
-        import os
-
-        import jax
-
         cache_dir = config.get("COMPILE_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
         )

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from phoneme_vqa_tpu.decode.beam import _expand_to_beams, beam_decode
@@ -66,6 +67,7 @@ def test_beam1_equals_greedy():
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
 
 
+@pytest.mark.slow
 def test_beam_e2e_executors(tmp_path):
     """isgreedy=False / num_beam routes through beam for both the customized
     single-stream and the phoneme triple-stream executors."""

@@ -12,6 +12,9 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 from .fixtures import make_latr_fixture, make_sal_fixture, tiny_latr_yaml, tiny_sal_yaml
 
 
+
+pytestmark = pytest.mark.slow
+
 def _customized_overrides(tmp_path, tokenizer="ByteTokenizer"):
     return dict(
         EXECUTOR="CustomizedLaTr_Executor",

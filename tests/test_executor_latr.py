@@ -14,6 +14,9 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 from .fixtures import make_latr_fixture, tiny_latr_yaml
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     root = tmp_path_factory.mktemp("latr_fixture")

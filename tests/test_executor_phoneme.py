@@ -20,6 +20,9 @@ from .fixtures import (
 )
 
 
+
+pytestmark = pytest.mark.slow
+
 def _write_annotations(root) -> str:
     ann = {
         "annotations": [

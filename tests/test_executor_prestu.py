@@ -11,6 +11,9 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 from .fixtures import make_latr_fixture, tiny_latr_yaml
 
 
+
+pytestmark = pytest.mark.slow
+
 def test_prestu_train_eval(tmp_path):
     paths = make_latr_fixture(tmp_path)
     save_path = str(tmp_path / "ckpts")

@@ -14,6 +14,9 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 from .fixtures import make_sal_fixture, tiny_sal_yaml
 
 
+
+pytestmark = pytest.mark.slow
+
 def test_scp_table_matches_reference_semantics():
     """Grid distance table == the reference's create_grid_all_dists
     (SaL_utils.py:172-195) up to the flatten."""

@@ -1,8 +1,12 @@
 """Driver entry points: jittable forward step + multichip dryrun."""
 
 import jax
+import pytest
 import numpy as np
 
+
+
+pytestmark = pytest.mark.slow
 
 def test_entry_compiles_and_runs():
     import __graft_entry__ as ge

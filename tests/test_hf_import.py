@@ -104,6 +104,79 @@ def test_t5_import_logit_parity(tied):
     np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
 
 
+def test_import_shape_mismatch_is_loud():
+    """SaL grows the vocab by one context token; importing a stock checkpoint
+    must report the `shared.weight` shape mismatch loudly (VERDICT r1 weak #4:
+    previously the embedding silently stayed random-init), and strict mode
+    must raise."""
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    from phoneme_vqa_tpu.models.hf_import import ImportReport
+
+    hf_cfg = HFT5Config(
+        vocab_size=48, d_model=32, d_kv=8, num_heads=4, d_ff=37,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True, decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    sd = {k: v.numpy() for k, v in T5ForConditionalGeneration(hf_cfg).state_dict().items()}
+
+    cfg = T5Config(
+        vocab_size=49,  # +1 context token, as SaL does
+        d_model=32, d_kv=8, num_heads=4, d_ff=37, num_layers=2,
+        num_decoder_layers=2, dropout_rate=0.0, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=True, dtype=jnp.float32,
+    )
+    model = T5(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 32)), jnp.zeros((1, 2), jnp.int32),
+        None,
+    )["params"]
+
+    report = ImportReport()
+    out = import_t5_params(params, sd, report=report)
+    failed_keys = [k for k, _ in report.failed]
+    assert "shared.weight" in failed_keys
+    assert any("shape mismatch" in r for _, r in report.failed)
+    # the mismatched embedding keeps its (still-valid) random init
+    assert out["shared"]["embedding"].shape == (49, 32)
+    # everything else imported
+    assert len(report.mapped) >= 50
+    assert not report.unused
+
+    with pytest.raises(ValueError, match="shared.weight"):
+        import_t5_params(params, sd, strict=True)
+
+
+def test_import_report_clean_on_match():
+    """A matching checkpoint maps every key with no failures/unused."""
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    from phoneme_vqa_tpu.models.hf_import import ImportReport
+
+    hf_cfg = HFT5Config(
+        vocab_size=48, d_model=32, d_kv=8, num_heads=4, d_ff=37,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=False, decoder_start_token_id=0,
+    )
+    torch.manual_seed(0)
+    sd = {k: v.numpy() for k, v in T5ForConditionalGeneration(hf_cfg).state_dict().items()}
+    cfg = T5Config(
+        vocab_size=48, d_model=32, d_kv=8, num_heads=4, d_ff=37,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dtype=jnp.float32,
+    )
+    model = T5(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 32)), jnp.zeros((1, 2), jnp.int32),
+        None,
+    )["params"]
+    report = ImportReport()
+    import_t5_params(params, sd, strict=True, report=report)
+    assert not report.failed and not report.unused
+
+
 def test_greedy_generate_matches_hf(tied=True):
     """Answer-level parity: our KV-cached while_loop greedy == HF torch
     T5.generate greedy on the same (imported) weights — the BASELINE.json

@@ -69,6 +69,7 @@ def test_cache_matches_teacher_forcing(t5_setup):
     )
 
 
+@pytest.mark.slow
 def test_greedy_decode_matches_naive(t5_setup):
     """`greedy_decode` (while_loop) == naive per-step re-decode greedy."""
     model, params, embeds, enc_mask, _ = t5_setup
