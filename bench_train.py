@@ -98,13 +98,46 @@ def main():
     t0 = time.perf_counter()
     losses = np.asarray(run_many(params, opt_state, batch))
     log(f"compile+first: {time.perf_counter() - t0:.1f}s, losses {losses[:3]}")
-    best = np.inf
-    for _ in range(3):
+    times = []
+    for _ in range(5):
         t0 = time.perf_counter()
         losses = np.asarray(run_many(params, opt_state, batch))
-        best = min(best, time.perf_counter() - t0)
-    throughput = B * iters / best
-    log(f"TPU train: {throughput:.1f} samples/s ({best / iters * 1000:.1f} ms/step)")
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times)) / iters
+    throughput = B / step_s
+
+    # --- MFU accounting (VERDICT r1 item 6) ---------------------------------
+    # XLA's cost analysis counts a while/scan BODY once (verified against a
+    # plain matmul on this backend), so analyze one unscanned train step; fall
+    # back to the 6*N*T transformer estimate if the backend doesn't expose it.
+    def one_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    flops_per_step = None
+    try:
+        compiled = jax.jit(one_step).lower(params, opt_state, batch).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca["flops"])
+    except Exception as e:
+        log(f"cost_analysis unavailable ({e}); using analytic estimate")
+    if flops_per_step and flops_per_step > 0:
+        flops_src = "xla_cost_analysis"
+    else:
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(abstract))
+        # fused encoder length: 197 ViT patches + OCR + question
+        tokens = B * (197 + L_OCR + L_Q + (L_A - 1))
+        flops_per_step = 6.0 * n_params * tokens
+        flops_src = "6*N*T estimate"
+    PEAK_BF16 = 197e12  # TPU v5e per-chip peak (bf16)
+    mfu = flops_per_step / step_s / PEAK_BF16
+    log(
+        f"TPU train: {throughput:.1f} samples/s ({step_s * 1000:.1f} ms/step), "
+        f"{flops_per_step / 1e12:.2f} TFLOP/step ({flops_src}), "
+        f"MFU {mfu * 100:.1f}% of v5e bf16 peak"
+    )
     print(
         json.dumps(
             {
@@ -112,6 +145,9 @@ def main():
                 "value": round(throughput, 2),
                 "unit": "samples/sec/chip",
                 "vs_baseline": -1.0,
+                "step_ms": round(step_s * 1000, 2),
+                "mfu_pct": round(mfu * 100, 2),
+                "flops_per_step_t": round(flops_per_step / 1e12, 3),
             }
         )
     )

@@ -24,7 +24,7 @@ from ..utils.registry import MODEL_CONFIGS, MODELS
 from .custom_decoder import CustomDecoder, CustomDecoderConfig
 from .latr import LaTr, LaTrConfig, t5_config_from_yaml, vit_config_from_yaml
 from .prestu import PreSTU
-from .sal import SaLConfig, SaLFusion
+from .sal import SaLConfig, SaLFusion, train_bias
 from .t5 import T5Config
 
 
@@ -166,6 +166,7 @@ class CustomizedSaL(_CustomDecodeMixin, SaLFusion):
     # SaL's fuse returns (embeds, mask, bias) — inject the bias
     def __call__(self, batch, labels, label_mask, deterministic: bool = True):
         embeds, enc_mask, bias = self.fuse(batch)
+        bias = train_bias(bias, deterministic)
         enc_out = self.t5.encode(
             embeds, enc_mask, position_bias=bias, deterministic=deterministic
         )

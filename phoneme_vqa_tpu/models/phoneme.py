@@ -33,7 +33,7 @@ from .custom_decoder import CustomDecoderConfig, DecoderLayer, sinusoidal_table
 from .customized import CustomizedSaLConfig, _CustomDecodeMixin
 from .latr import LaTr, LaTrConfig
 from .prestu import PreSTU
-from .sal import SaLFusion
+from .sal import SaLFusion, train_bias
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,6 +253,7 @@ class PhonemeSaL(_CustomDecodeMixin, SaLFusion):
 
     def __call__(self, batch, labels, label_mask, deterministic: bool = True):
         embeds, enc_mask, bias = self.fuse(batch)
+        bias = train_bias(bias, deterministic)
         enc_out = self.t5.encode(
             embeds, enc_mask, position_bias=bias, deterministic=deterministic
         )

@@ -9,8 +9,14 @@ Contract (`/root/reference/core/model/modules/SaL_utils.py:24-223`):
 
 The reference computes SCP on numpy each batch — a device->host->device
 round trip inside forward (`SaL_utils.py:163-168`). Here the 11x11x11x11
-distance table is a compile-time constant and the lookup is one gather,
-fully on-device.
+distance table is a compile-time constant, and the bias is returned in
+FACTORED form (`ops.sal_fused_attention.FusedSalBias`): the batch-independent
+1D bias `(H, L, L)`, the SCP bias in 121-grid-cell space `(H, C, C)`, and the
+per-token cell index `(B, L)`. On TPU the attention kernel reconstructs the
+per-pair bias on-chip, so the `(B, H, L, L)` f32 tensor (~173 MB at SaL-base
+shapes, re-read by every encoder layer) never exists in HBM; everywhere else
+`dot_product_attention` materializes it (`FusedSalBias.materialize`), which
+is numerically identical to the direct formulation.
 
 Also fixed (documented divergence): the reference never folds the padding
 mask into the injected bias, so its SaL encoder attends to padding
@@ -57,8 +63,11 @@ class Sal2DPositionBias(nn.Module):
         max_ques: int,
         max_ocr: int,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
-        """Returns (B, H, L, L) f32 additive bias."""
+    ):
+        """Returns a `FusedSalBias` (factored; `.materialize()` recovers the
+        `(B, H, L, L)` f32 additive bias of the direct formulation)."""
+        from ..ops.sal_fused_attention import SENTINEL, FusedSalBias
+
         aug_scale = 1.0
         if self.augmentation and not deterministic:
             aug_scale = jax.random.uniform(
@@ -79,26 +88,31 @@ class Sal2DPositionBias(nn.Module):
             num_buckets=self.num_buckets,
             max_distance=self.max_distance_1d,
         )
-        bias_1d = embed_1d(buckets_1d).transpose(2, 0, 1)[None]  # (1, H, L, L)
+        bias_1d = embed_1d(buckets_1d).transpose(2, 0, 1)  # (H, L, L)
 
-        # SCP over OCR bbox centers
-        cx = ocr_coordinates[..., (0, 2)].mean(-1)
-        cy = ocr_coordinates[..., (1, 3)].mean(-1)
-        ix = jnp.clip(jnp.floor(cx * GRID).astype(jnp.int32), 0, GRID - 1)
-        iy = jnp.clip(jnp.floor(cy * GRID).astype(jnp.int32), 0, GRID - 1)
-        cell = ix * GRID + iy  # (B, L_ocr)
-        table = jnp.asarray(_grid_distance_table())
-        dist = table[cell[:, :, None], cell[:, None, :]]  # (B, L_ocr, L_ocr)
-        dist = (dist.astype(jnp.float32) * aug_scale).astype(jnp.int32)
-        buckets_scp = relative_position_bucket(
-            dist,
+        # SCP between grid CELLS (121 of them) — per-pair values are a pure
+        # function of the two cells, so embed the 121x121 distance table once
+        table = jnp.asarray(_grid_distance_table())  # (121, 121) int
+        dist121 = (table.astype(jnp.float32) * aug_scale).astype(jnp.int32)
+        buckets121 = relative_position_bucket(
+            dist121,
             bidirectional=True,
             num_buckets=self.num_buckets,
             max_distance=self.max_distance_scp,
         )
-        bias_scp = embed_scp(buckets_scp).transpose(0, 3, 1, 2)  # (B, H, Locr, Locr)
+        cell_bias = embed_scp(buckets121).transpose(2, 0, 1)  # (H, 121, 121)
+        # sentinel row/col: tokens outside the OCR block contribute 0
+        cell_bias = jnp.pad(cell_bias, ((0, 0), (0, 1), (0, 1)))
 
+        # per-token grid cell from OCR bbox centers; SENTINEL elsewhere
+        cx = ocr_coordinates[..., (0, 2)].mean(-1)
+        cy = ocr_coordinates[..., (1, 3)].mean(-1)
+        ix = jnp.clip(jnp.floor(cx * GRID).astype(jnp.int32), 0, GRID - 1)
+        iy = jnp.clip(jnp.floor(cy * GRID).astype(jnp.int32), 0, GRID - 1)
+        cell_ocr = ix * GRID + iy  # (B, L_ocr)
         b = ocr_coordinates.shape[0]
-        bias = jnp.broadcast_to(bias_1d, (b,) + bias_1d.shape[1:])
-        sl = slice(max_ques, max_ques + max_ocr)
-        return bias.at[:, :, sl, sl].add(bias_scp)
+        cell = jnp.full((b, seq_len), SENTINEL, jnp.int32)
+        cell = jax.lax.dynamic_update_slice(cell, cell_ocr, (0, max_ques))
+        assert max_ques + max_ocr <= seq_len
+
+        return FusedSalBias(bias1d=bias_1d, cell_bias=cell_bias, cell=cell)

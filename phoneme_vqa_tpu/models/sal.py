@@ -19,6 +19,14 @@ import jax.numpy as jnp
 from ..utils.registry import MODEL_CONFIGS, MODELS
 from .latr import _dtype_of, t5_config_from_yaml
 from .rel_bias_2d import Sal2DPositionBias
+
+
+def train_bias(bias, deterministic: bool):
+    """Gradient path: hand XLA the materialized (B, H, L, L) bias — measured
+    faster for fwd+bwd on v5e than the fused kernel's recompute-VJP (129 vs
+    144 ms/step at SaL-base B=32; docs/DESIGN.md). Forward-only paths
+    (generate, validate_loss) keep the factored form and the fused kernel."""
+    return bias.materialize() if not deterministic else bias
 from .t5 import RMSNorm, T5, T5Config
 
 
@@ -103,10 +111,19 @@ class SaLFusion(nn.Module):
             embeds.shape[1], batch["ocr_coordinates"],
             self.cfg.max_ques, self.cfg.max_ocr,
         )
+        # the (H, L, L) 1D bias is tiled from HBM by the fused kernel every
+        # layer — carry it (and the cell table, which sets the kernel's scp
+        # matmul dtype) in the compute dtype: bf16 halves traffic and runs
+        # the MXU in native mode
+        bias = bias._replace(
+            bias1d=bias.bias1d.astype(self.cfg.t5.dtype),
+            cell_bias=bias.cell_bias.astype(self.cfg.t5.dtype),
+        )
         return embeds, mask, bias
 
     def __call__(self, batch, labels, label_mask, deterministic: bool = True):
         embeds, enc_mask, bias = self.fuse(batch)
+        bias = train_bias(bias, deterministic)
         enc_out = self.t5.encode(
             embeds, enc_mask, position_bias=bias, deterministic=deterministic
         )

@@ -31,10 +31,22 @@ NEG_INF = -1e9
 FLASH_ENABLED = False
 _FLASH_MIN_QLEN = 16
 
+# The fused SaL-bias kernel (ops/sal_fused_attention.py) IS on by default:
+# unlike plain attention, the SaL path pays for a (B, H, L, L) f32 bias in
+# HBM that XLA re-reads every encoder layer — reconstructing it in-kernel
+# from the factored FusedSalBias removes that traffic entirely. Measured on
+# 1x TPU v5e at SaL-base shapes (B=32, H=12, L=336, bf16): see docs/DESIGN.md.
+SAL_FUSED_ENABLED = True
+
 
 def enable_flash(enabled: bool = True) -> None:
     global FLASH_ENABLED
     FLASH_ENABLED = enabled
+
+
+def enable_sal_fused(enabled: bool = True) -> None:
+    global SAL_FUSED_ENABLED
+    SAL_FUSED_ENABLED = enabled
 
 
 def reference_attention(
@@ -94,11 +106,35 @@ def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,
+    bias=None,  # ndarray (B|1, H, Lq, Lk) or FusedSalBias
     key_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
+    from .sal_fused_attention import FusedSalBias
+
+    if isinstance(bias, FusedSalBias):
+        from .sal_fused_attention import INTERPRET
+
+        fusable = (
+            SAL_FUSED_ENABLED
+            and (jax.default_backend() == "tpu" or INTERPRET)
+            and not causal
+            and scale is None
+            and q.shape[-2] == k.shape[-2]
+        )
+        if fusable:
+            from .sal_fused_attention import sal_attention
+
+            mask = (
+                jnp.ones(k.shape[:1] + k.shape[2:3], jnp.int32)
+                if key_mask is None
+                else key_mask.astype(jnp.int32)
+            )
+            return sal_attention(
+                q, k, v, bias.bias1d, bias.cell_bias, bias.cell, mask
+            )
+        bias = bias.materialize()
     use_flash = (
         FLASH_ENABLED
         and jax.default_backend() == "tpu"

@@ -37,7 +37,7 @@ def test_sal_2d_bias_shapes_and_block():
     bias_mod = Sal2DPositionBias(num_heads=4)
     coords = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (2, 6, 4)), jnp.float32)
     params = bias_mod.init(jax.random.PRNGKey(0), 16, coords, 4, 6)
-    out = bias_mod.apply(params, 16, coords, 4, 6)
+    out = bias_mod.apply(params, 16, coords, 4, 6).materialize()
     assert out.shape == (2, 4, 16, 16)
     # outside the OCR block the bias must be batch-independent (pure 1D)
     np.testing.assert_allclose(out[0, :, :4, :4], out[1, :, :4, :4], rtol=1e-6)
@@ -74,9 +74,9 @@ def test_sal_bias_augmentation_flag():
     coords = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (1, 5, 4)), jnp.float32)
     mod = Sal2DPositionBias(num_heads=2, augmentation=True)
     params = mod.init(jax.random.PRNGKey(0), 10, coords, 2, 5)
-    det = mod.apply(params, 10, coords, 2, 5)
-    det2 = mod.apply(params, 10, coords, 2, 5, True)
+    det = mod.apply(params, 10, coords, 2, 5).materialize()
+    det2 = mod.apply(params, 10, coords, 2, 5, True).materialize()
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
     aug = mod.apply(params, 10, coords, 2, 5, False,
-                    rngs={"dropout": jax.random.PRNGKey(9)})
+                    rngs={"dropout": jax.random.PRNGKey(9)}).materialize()
     assert aug.shape == det.shape

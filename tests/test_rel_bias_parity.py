@@ -25,9 +25,8 @@ H = 4
 
 def _our_bias(params, seq_len, coords, max_ques, max_ocr):
     mod = Sal2DPositionBias(num_heads=H)
-    return np.asarray(
-        mod.apply(params, seq_len, jnp.asarray(coords, jnp.float32), max_ques, max_ocr)
-    )
+    fused = mod.apply(params, seq_len, jnp.asarray(coords, jnp.float32), max_ques, max_ocr)
+    return np.asarray(fused.materialize())
 
 
 def _init_params(seq_len, coords):
