@@ -22,12 +22,14 @@ from jax import lax
 NEG_INF = -1e9
 
 # Pallas fused-attention dispatch (see ops/flash_attention.py). Measured on
-# 1x TPU v5e at this framework's shapes (B=32, H=12, L=327, D=64, bf16,
-# dispatch-amortized): XLA-default attention 1.5ms vs the Pallas kernel
-# 3.3ms — XLA's fusion pipeline is already near its bandwidth roofline at
-# these sequence lengths, so the kernel is OFF by default and kept as an
-# opt-in (`enable_flash(True)`) for regimes where it wins (longer
-# sequences). Single-step decode (Lq == 1) and CPU always use the XLA path.
+# 1x TPU v5e (bf16, H=12, D=64, overhead-cancelled): XLA-default attention
+# beats the kernel at EVERY length — 0.56 vs 1.0 ms at B=32 L=336, 0.68 vs
+# 1.57 at B=8 L=1024, 1.12 vs 2.71 at B=4 L=2048, 2.33 vs 5.34 at B=2
+# L=4096 — XLA's fusion pipeline is already near its bandwidth roofline, so
+# the kernel is OFF by default and kept only as an opt-in
+# (`enable_flash(True)`) escape hatch. Single-step decode (Lq == 1) and CPU
+# always use the XLA path. The kernel that DOES pay is the fused SaL-bias
+# variant (SAL_FUSED_ENABLED below).
 FLASH_ENABLED = False
 _FLASH_MIN_QLEN = 16
 

@@ -38,6 +38,9 @@ def main():
     # `JAX_PLATFORMS=cpu` drive the CLI on a virtual CPU mesh.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from phoneme_vqa_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed(config)  # no-op single host
     try:  # persistent XLA compilation cache (remote compiles are slow)
         cache_dir = config.get("COMPILE_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".jax_cache"

@@ -214,3 +214,15 @@ def test_loader_shards_partition_rows():
         ):
             seen.extend(batch["x"][:n_valid, 0].tolist())
     assert sorted(seen) == list(range(20))
+
+
+def test_multihost_init_noop_single_host(monkeypatch):
+    """maybe_initialize_distributed is a safe no-op without a coordinator."""
+    from phoneme_vqa_tpu.parallel import multihost
+
+    from phoneme_vqa_tpu.config import Config
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert multihost.maybe_initialize_distributed(None) is False
+    assert multihost.maybe_initialize_distributed(Config({})) is False
