@@ -34,7 +34,8 @@ def main():
     from phoneme_vqa_tpu.models.latr import LaTr, LaTr_config
     from phoneme_vqa_tpu.train.optim import cross_entropy_loss, epoch_decay_schedule
 
-    B, L_OCR, L_Q, L_A, IMG, V = 16, 100, 30, 32, 224, 36096
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    L_OCR, L_Q, L_A, IMG, V = 100, 30, 32, 224, 36096
     cfg = LaTr_config().build(Config({"t5_vocab_size": V, "DTYPE": "bfloat16"}))
     model = LaTr(cfg)
     rng = np.random.RandomState(0)

@@ -59,6 +59,7 @@ def t5_config_from_yaml(config) -> T5Config:
         tie_word_embeddings=config.get("tie_word_embeddings", True),
         dropout_rate=config.get("dropout_rate", 0.1),
         dtype=_dtype_of(config),
+        remat=bool(config.get("REMAT", False)),
     )
 
 

@@ -56,6 +56,10 @@ class T5Config:
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
     dtype: Any = jnp.bfloat16
+    # gradient checkpointing: rematerialize each block's activations in the
+    # backward pass (YAML key ``REMAT``) — trades ~1/3 more FLOPs for O(layers)
+    # less activation memory, the standard TPU lever for bigger train batches
+    remat: bool = False
 
     def replace(self, **kw) -> "T5Config":
         return dataclasses.replace(self, **kw)
@@ -250,8 +254,13 @@ class T5Encoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.rel_bias = RelativeBias(cfg, bidirectional=True, name="rel_bias")
+        block_cls = (
+            nn.remat(T5EncoderBlock, static_argnums=(4,))
+            if cfg.remat
+            else T5EncoderBlock
+        )
         self.blocks = [
-            T5EncoderBlock(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
+            block_cls(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
         ]
         self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")
 
@@ -315,8 +324,13 @@ class T5Decoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.rel_bias = RelativeBias(cfg, bidirectional=False, name="rel_bias")
+        block_cls = (
+            nn.remat(T5DecoderBlock, static_argnums=(6,))
+            if cfg.remat
+            else T5DecoderBlock
+        )
         self.blocks = [
-            T5DecoderBlock(cfg, name=f"block_{i}")
+            block_cls(cfg, name=f"block_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
         self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")

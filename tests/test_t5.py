@@ -202,3 +202,36 @@ def test_dropout_active_in_training_mode():
     det = model.apply({"params": params}, embeds, dec_ids)
     det2 = model.apply({"params": params}, embeds, dec_ids)
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+
+def test_remat_matches_no_remat():
+    """REMAT (gradient checkpointing) must not change loss, grads, or decode
+    — it only trades recompute for activation memory."""
+    from phoneme_vqa_tpu.models.generate import make_generate_fn
+
+    cfg_r = TINY_T5.replace(remat=True)
+    model = LaTr(LaTrConfig(t5=TINY_T5, vit=TINY_VIT))
+    model_r = LaTr(LaTrConfig(t5=cfg_r, vit=TINY_VIT))
+    batch = _latr_batch(b=2)
+    labels = jnp.asarray([[0, 5, 6, 7], [0, 8, 9, 1]], jnp.int32)
+    mask = jnp.ones_like(labels)
+    params = model.init(jax.random.PRNGKey(0), batch, labels, mask)["params"]
+
+    def loss(m):
+        def f(p):
+            logits = m.apply({"params": p}, batch, labels, mask)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(model_r))(params)
+    assert np.isclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+    # decode (cache/step path) still runs under the rematted module
+    gen = jax.jit(make_generate_fn(model_r, max_length=5))
+    out = np.asarray(gen(params, batch))
+    want = np.asarray(jax.jit(make_generate_fn(model, max_length=5))(params, batch))
+    np.testing.assert_array_equal(out, want)
