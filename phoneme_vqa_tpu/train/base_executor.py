@@ -49,6 +49,14 @@ class BaseExecutor:
             from ..utils.profiling import enable_nan_checks
 
             enable_nan_checks(True)
+        # kernel dispatch knobs (defaults follow the v5e measurements in
+        # docs/DESIGN.md; both overridable per run)
+        from ..ops import attention as _attn
+
+        if config.get("FLASH") is not None:
+            _attn.enable_flash(bool(config.get("FLASH")))
+        if config.get("SAL_FUSED") is not None:
+            _attn.enable_sal_fused(bool(config.get("SAL_FUSED")))
 
         if mode == "train":
             self._create_data_utils()
@@ -419,12 +427,18 @@ class BaseExecutor:
 
         generate = self._get_generate_fn(max_length)
         params = self._inference_params()
-        out_rows: List = []
+        pending: List = []
         batches = self._maybe_prefetch(
             batch_iterator(dataset, batch_size, pad_final=True)
         )
+        # dispatch every batch asynchronously and materialize at the end:
+        # host-side featurization of batch i+1 overlaps device decode of
+        # batch i, and the per-dispatch host sync is paid once, not per batch
         for batch, n_valid in batches:
             ids = generate(params, self._shard(self._model_batch(batch)))
+            pending.append((ids, n_valid))
+        out_rows: List = []
+        for ids, n_valid in pending:
             out_rows.extend(np.asarray(ids)[:n_valid].tolist())
         return self._decode_rows(out_rows)
 

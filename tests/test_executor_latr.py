@@ -147,3 +147,21 @@ def test_metrics_jsonl_written(tmp_path):
     assert len(lines) == 2
     rec = _json.loads(lines[-1])
     assert rec["epoch"] == 2 and "train_loss" in rec and "Accuracy" in rec
+
+
+def test_kernel_knobs_from_config(tmp_path):
+    """FLASH / SAL_FUSED yaml knobs drive the attention dispatch globals."""
+    from phoneme_vqa_tpu.ops import attention as attn
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=1,
+                               FLASH=False, SAL_FUSED=False)
+    config = get_config(yaml_path)
+    before = (attn.FLASH_ENABLED, attn.SAL_FUSED_ENABLED)
+    try:
+        EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+        assert attn.FLASH_ENABLED is False
+        assert attn.SAL_FUSED_ENABLED is False
+    finally:
+        attn.enable_flash(before[0])
+        attn.enable_sal_fused(before[1])
