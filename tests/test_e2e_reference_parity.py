@@ -1,0 +1,168 @@
+"""END-TO-END north-star gate (BASELINE.md): identical answer strings between
+the REFERENCE's own model pipeline and this framework's production executor,
+on the same data and the same (imported) weights.
+
+The reference LaTr (`/root/reference/core/model/LaTr.py`) is constructed
+offline by substituting its `from_pretrained` calls with same-config
+random-init HF modules; its weights are then imported into our executor via
+`models/hf_import.py` (+ the spatial tables / visual projector, mapped here).
+Our `BaseExecutor.infer` — the exact path `run.py --mode eval` drives — must
+produce the same answer strings the reference model's decode produces.
+
+Dataset featurization equality is covered separately (`test_data_parity.py`);
+here both sides consume the same featurized arrays so the gate isolates
+model + decode + detokenization.
+
+Note the reference's shipped `LaTr.generate` drops the encoder attention mask
+(`LaTr.py:110` — `backbone.generate` without `attention_mask`), silently
+attending to OCR padding; the intended masked path is reconstructed here from
+its own `calculate_embedding` (README "Reference bugs fixed by design").
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.data.loader import batch_iterator
+from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+from .reference_loader import REFERENCE_ROOT, load_reference_package
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_ROOT), reason="reference tree not mounted"
+    ),
+]
+
+
+def _reference_model():
+    from transformers import (
+        T5Config as HFT5Config,
+        T5ForConditionalGeneration,
+        ViTConfig as HFViTConfig,
+        ViTModel,
+    )
+
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    vit_cfg = HFViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    ref_latr = load_reference_package("core.model.LaTr")
+
+    class _T5Factory:
+        @staticmethod
+        def from_pretrained(name):
+            return T5ForConditionalGeneration(t5_cfg)
+
+    class _ViTFactory:
+        @staticmethod
+        def from_pretrained(name):
+            return ViTModel(vit_cfg)
+
+    old = (ref_latr.T5ForConditionalGeneration, ref_latr.ViTModel)
+    ref_latr.T5ForConditionalGeneration = _T5Factory
+    ref_latr.ViTModel = _ViTFactory
+    try:
+        # the SpatialModule reads these off the passed config object
+        t5_cfg.max_2d_position_embeddings = 1024
+        t5_cfg.vit_model = "unused-offline"
+        torch.manual_seed(42)
+        model = ref_latr.LaTr(t5_cfg).eval()
+    finally:
+        ref_latr.T5ForConditionalGeneration, ref_latr.ViTModel = old
+    return model
+
+
+def _import_reference_weights(ex, ref):
+    """Map every reference tensor into the executor's param tree."""
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_t5_params,
+        import_vit_params,
+    )
+
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    t5_sd = {k: v.numpy() for k, v in ref.backbone.state_dict().items()}
+    params["t5"] = import_t5_params(params["t5"], t5_sd, report=report)
+    vit_sd = {k: v.numpy() for k, v in ref.vit.state_dict().items()}
+    params["vit"] = import_vit_params(params["vit"], vit_sd, report=report)
+    assert not report.failed, report.failed
+
+    sp = ref.spatial_feat_extractor
+    tables = np.stack(
+        [
+            m.weight.detach().numpy()
+            for m in (sp.top_left_x, sp.top_left_y, sp.bottom_right_x,
+                      sp.bottom_right_y, sp.width_emb, sp.height_emb)
+        ]
+    )
+    assert params["spatial"]["tables"].shape == tables.shape
+    params["spatial"]["tables"] = tables.astype(np.float32)
+    params["visual_projector"]["kernel"] = (
+        ref.visual_projector.weight.detach().numpy().T.astype(np.float32)
+    )
+    params["visual_projector"]["bias"] = (
+        ref.visual_projector.bias.detach().numpy().astype(np.float32)
+    )
+    ex.state = ex.state.replace(params=params)
+    ex._place_state()
+
+
+def test_identical_answer_strings_end_to_end(tmp_path):
+    max_len = 10
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ref = _reference_model()
+    _import_reference_weights(ex, ref)
+
+    # --- our production path: the executor's jitted infer -----------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: its own fusion + HF generate on the same arrays --
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        with torch.no_grad():
+            emb, mask = ref.calculate_embedding(
+                torch.tensor(batch["pixel_values"]),
+                torch.tensor(batch["coordinates"], dtype=torch.long),
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["ocr_attention_mask"], dtype=torch.long),
+                torch.tensor(batch["src_attention_mask"], dtype=torch.long),
+                torch.tensor(batch["tokenized_ocr"], dtype=torch.long),
+            )
+            out = ref.backbone.generate(
+                inputs_embeds=emb,
+                attention_mask=mask.long(),
+                max_length=max_len,
+                do_sample=False,
+                num_beams=1,
+            )
+        ref_rows.extend(np.asarray(out)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
