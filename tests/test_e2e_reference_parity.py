@@ -166,3 +166,103 @@ def test_identical_answer_strings_end_to_end(tmp_path):
 
     assert ours == theirs, list(zip(ours, theirs))
     assert len(ours) == 6
+
+
+def test_prestu_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for the PreSTU family (no spatial stream; OCR fused into
+    input_ids by the dataset)."""
+    from transformers import (
+        T5Config as HFT5Config,
+        T5ForConditionalGeneration,
+        ViTConfig as HFViTConfig,
+        ViTModel,
+    )
+
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_t5_params,
+        import_vit_params,
+    )
+
+    max_len = 10
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="PreSTU_Executor", MODEL_CLASS="PreSTU",
+        MODEL_MOD_CONFIG_CLASS="PreSTU_config", max_input_length=20,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+
+    ref_mod = load_reference_package("core.model.PreSTU")
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    vit_cfg = HFViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+
+    class _T5F:
+        @staticmethod
+        def from_pretrained(name):
+            return T5ForConditionalGeneration(t5_cfg)
+
+    class _ViTF:
+        @staticmethod
+        def from_pretrained(name):
+            return ViTModel(vit_cfg)
+
+    old = (ref_mod.T5ForConditionalGeneration, ref_mod.ViTModel)
+    ref_mod.T5ForConditionalGeneration, ref_mod.ViTModel = _T5F, _ViTF
+    try:
+        t5_cfg.vit_model = "unused-offline"
+        torch.manual_seed(7)
+        ref = ref_mod.PreSTU(t5_cfg).eval()
+    finally:
+        ref_mod.T5ForConditionalGeneration, ref_mod.ViTModel = old
+
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    params["t5"] = import_t5_params(
+        params["t5"], {k: v.numpy() for k, v in ref.backbone.state_dict().items()},
+        report=report,
+    )
+    params["vit"] = import_vit_params(
+        params["vit"], {k: v.numpy() for k, v in ref.vit.state_dict().items()},
+        report=report,
+    )
+    assert not report.failed, report.failed
+    params["visual_projector"]["kernel"] = (
+        ref.visual_projector.weight.detach().numpy().T.astype(np.float32)
+    )
+    params["visual_projector"]["bias"] = (
+        ref.visual_projector.bias.detach().numpy().astype(np.float32)
+    )
+    ex.state = ex.state.replace(params=params)
+    ex._place_state()
+
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        with torch.no_grad():
+            emb, mask = ref.calculate_embedding(
+                torch.tensor(batch["pixel_values"]),
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["src_attention_mask"], dtype=torch.long),
+            )
+            out = ref.backbone.generate(
+                inputs_embeds=emb, attention_mask=mask.long(),
+                max_length=max_len, do_sample=False, num_beams=1,
+            )
+        ref_rows.extend(np.asarray(out)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
