@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -61,44 +62,71 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def tree_shardings(mesh: Mesh, tree):
+def tree_shardings(mesh: Mesh, tree, zero1: bool = False):
     """Path-keyed TP sharding rules for a parameter (or optimizer-state) tree.
 
     With ``model`` axis size 1 everything is replicated (pure DP). The rules
     only fire on 2-D leaves whose split dimension divides the TP degree;
     anything else stays replicated — correct by construction, XLA inserts the
-    all-gathers/psums the shardings imply."""
+    all-gathers/psums the shardings imply.
+
+    ``zero1=True`` (for OPTIMIZER-state trees): additionally shards every
+    float leaf over the ``data`` axis on a dimension the TP rules left free —
+    ZeRO-1: adam moments cost 1/dp the memory per chip, and XLA turns the
+    update into reduce-scatter(grads) → sharded update → all-gather(updates)
+    from the shardings alone."""
     tp = int(mesh.shape[MODEL_AXIS])
+    dp = int(mesh.shape[DATA_AXIS])
     repl = replicated(mesh)
     col = NamedSharding(mesh, P(None, MODEL_AXIS))
     row = NamedSharding(mesh, P(MODEL_AXIS, None))
 
-    def rule(path, leaf):
+    def base_spec(path, leaf) -> P:
         shape = getattr(leaf, "shape", ())
         if tp == 1 or len(shape) != 2:
-            return repl
+            return P()
         names = "/".join(getattr(p, "key", str(p)) for p in path)
         if shape[-1] % tp == 0 and (
             any(k in names for k in ("wi_0", "wi_1", "/wi/", "/q/", "/k/", "/v/"))
             or names.endswith(("q/kernel", "k/kernel", "v/kernel"))
         ):
-            return col
+            return P(None, MODEL_AXIS)
         if shape[0] % tp == 0 and (
             "wo" in names or "/o/" in names or names.endswith("o/kernel")
         ):
-            return row
+            return P(MODEL_AXIS, None)
         if shape[0] % tp == 0 and "embedding" in names:
-            return row
-        return repl
+            return P(MODEL_AXIS, None)
+        return P()
+
+    def rule(path, leaf):
+        spec = base_spec(path, leaf)
+        shape = getattr(leaf, "shape", ())
+        dtype = getattr(leaf, "dtype", None)
+        if (
+            zero1
+            and dp > 1
+            and len(shape) >= 1
+            and dtype is not None
+            and jnp.issubdtype(dtype, jnp.floating)
+        ):
+            axes = list(spec) + [None] * (len(shape) - len(spec))
+            for d in range(len(shape)):
+                if axes[d] is None and shape[d] % dp == 0:
+                    axes[d] = DATA_AXIS
+                    return NamedSharding(mesh, P(*axes))
+        if spec == P():
+            return repl
+        return col if spec == P(None, MODEL_AXIS) else row
 
     return jax.tree_util.tree_map_with_path(rule, tree)
 
 
-def place_tree(mesh: Optional[Mesh], tree):
+def place_tree(mesh: Optional[Mesh], tree, zero1: bool = False):
     """Place a param/opt-state tree on the mesh per `tree_shardings`."""
     if mesh is None:
         return jax.device_put(tree)
-    return jax.device_put(tree, tree_shardings(mesh, tree))
+    return jax.device_put(tree, tree_shardings(mesh, tree, zero1=zero1))
 
 
 def shard_batch(mesh: Optional[Mesh], batch: dict, process_local: bool = False):

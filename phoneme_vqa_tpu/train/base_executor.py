@@ -280,13 +280,17 @@ class BaseExecutor:
     def _place_state(self):
         """Shard params + optimizer state over the mesh (TP rules when
         ``MESH.model > 1``, replicated otherwise). The adam mu/nu subtrees
-        carry the parameter path names, so the same path-keyed rules apply.
-        XLA derives every collective (grad psum over ``data``, activation
-        all-gathers over ``model``) from these placements — the train step
-        itself is sharding-agnostic."""
+        carry the parameter path names, so the same path-keyed rules apply;
+        ``MESH.zero1: true`` additionally shards the moments over the data
+        axis (ZeRO-1 — 1/dp optimizer memory per chip). XLA derives every
+        collective (grad psum over ``data``, activation all-gathers over
+        ``model``, the ZeRO reduce-scatter/all-gather pair) from these
+        placements — the train step itself is sharding-agnostic."""
+        mesh_cfg = self.config.get("MESH") or {}
+        zero1 = bool(mesh_cfg.get("zero1")) if hasattr(mesh_cfg, "get") else False
         self.state = self.state.replace(
             params=place_tree(self.mesh, self.state.params),
-            opt_state=place_tree(self.mesh, self.state.opt_state),
+            opt_state=place_tree(self.mesh, self.state.opt_state, zero1=zero1),
         )
 
     # -- generic train/infer machinery (uniform batch-dict model surface) --------

@@ -226,3 +226,30 @@ def test_multihost_init_noop_single_host(monkeypatch):
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     assert multihost.maybe_initialize_distributed(None) is False
     assert multihost.maybe_initialize_distributed(Config({})) is False
+
+
+@pytest.mark.slow
+def test_zero1_optimizer_sharding_equivalence(tmp_path):
+    """MESH.zero1 shards adam moments over the data axis (ZeRO-1) without
+    changing the training math: identical loss and updated params."""
+    loss_0, params_0, _ = _executor_one_step(tmp_path, "plain", {"data": 8})
+    loss_z, params_z, ex_z = _executor_one_step(
+        tmp_path, "zero1", {"data": 8, "zero1": True}
+    )
+    assert np.isclose(loss_0, loss_z, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_0), jax.tree.leaves(params_z)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # the moments really are sharded over data
+    from phoneme_vqa_tpu.parallel.mesh import DATA_AXIS
+
+    n_sharded = sum(
+        1
+        for leaf in jax.tree.leaves(ex_z.state.opt_state)
+        if hasattr(leaf, "sharding")
+        and any(
+            a == DATA_AXIS
+            for axes in getattr(leaf.sharding, "spec", ())
+            for a in (axes if isinstance(axes, tuple) else (axes,))
+        )
+    )
+    assert n_sharded >= 40, f"only {n_sharded} ZeRO-sharded opt leaves"
