@@ -24,7 +24,7 @@ try:  # jnp only needed on the TPU path
 except Exception:  # pragma: no cover
     jnp = None
 
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 L_OCR = 100
 L_Q = 30
 MAX_EVAL_LEN = 20
@@ -146,10 +146,10 @@ def bench_cpu_reference() -> float:
     single un-warmed batch-8 call)."""
     if os.path.isfile(CPU_BASELINE_CACHE):
         cached = json.load(open(CPU_BASELINE_CACHE))
-        if cached.get("version") == 2:
+        if cached.get("version") == 2 and cached.get("batch") == BATCH:
             log(f"cpu baseline (cached): {cached['samples_per_sec']:.2f} samples/s")
             return cached["samples_per_sec"]
-        log("cpu baseline cache is the old un-warmed measurement; re-measuring")
+        log("cpu baseline cache stale (old version or batch mismatch); re-measuring")
 
     import torch
     from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
