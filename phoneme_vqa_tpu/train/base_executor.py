@@ -381,6 +381,11 @@ class BaseExecutor:
             shard=host, num_shards=n_hosts,
         )
         batches = self._maybe_prefetch(batches)
+        # preemption safety (SURVEY §5): periodically refresh last_ckp inside
+        # the epoch so at most SAVE_EVERY_STEPS steps of work are lost to a
+        # preemption; resume granularity stays per-epoch (the interrupted
+        # epoch restarts), matching the reference's auto-resume contract
+        save_every = int(c.get("SAVE_EVERY_STEPS", 0) or 0)
         with maybe_trace(profile_dir, "train_epoch"):
             for batch, _ in batches:
                 self.state, loss = self.train_step(
@@ -394,6 +399,8 @@ class BaseExecutor:
                         f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
                         f"| Loss: {round(total / it, 2)} | {timer.summary()}"
                     )
+                if save_every and c.get("SAVE") and it % save_every == 0:
+                    self._save_checkpoint("last")
         return total / max(it, 1)
 
     def _build_generate_fn(self, max_length: int):

@@ -165,3 +165,21 @@ def test_kernel_knobs_from_config(tmp_path):
     finally:
         attn.enable_flash(before[0])
         attn.enable_sal_fused(before[1])
+
+
+def test_save_every_steps_preemption_cadence(tmp_path):
+    """SAVE_EVERY_STEPS refreshes last_ckp mid-epoch (preemption safety);
+    resume stays epoch-granular."""
+    paths = make_latr_fixture(tmp_path)
+    save_path = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save_path, NUM_EPOCHS=1,
+                               SAVE_EVERY_STEPS=1, TRAIN_BATCH_SIZE=4)
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    # run the bare epoch (no eval) — mid-epoch saves must appear
+    ex._train_epoch(1)
+    ex.ckpt.wait()
+    assert os.path.isdir(os.path.join(save_path, "last_ckp"))
+    restored = ex.ckpt.restore_raw("last")
+    # saved state reflects mid-training steps, not the initial state
+    assert int(restored["step"]) >= 1
