@@ -18,6 +18,78 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+CPU_TRAIN_BASELINE_CACHE = os.path.join(
+    os.path.dirname(__file__), ".bench_cpu_train_baseline.json"
+)
+
+
+def bench_cpu_train_reference(B, L_OCR, L_Q, L_A, IMG, V) -> float:
+    """Torch-CPU LaTr train-step throughput (the reference's training path:
+    fused fwd + CE loss + adam step), warmed, median of 2 — cached (the
+    reference doesn't change)."""
+    import json as _json
+
+    if os.path.isfile(CPU_TRAIN_BASELINE_CACHE):
+        cached = _json.load(open(CPU_TRAIN_BASELINE_CACHE))
+        if cached.get("batch") == B:
+            log(f"cpu train baseline (cached): {cached['samples_per_sec']:.3f} samples/s")
+            return cached["samples_per_sec"]
+
+    import time as _time
+
+    import torch
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+
+    torch.manual_seed(0)
+    t5 = T5ForConditionalGeneration(
+        HFT5Config(
+            vocab_size=V, d_model=768, d_kv=64, num_heads=12, d_ff=2048,
+            num_layers=12, num_decoder_layers=12, feed_forward_proj="gated-gelu",
+            decoder_start_token_id=0,
+        )
+    ).train()
+    vit = ViTModel(HFViTConfig(), add_pooling_layer=False).train()
+    proj = torch.nn.Linear(768, 768)
+    spatial = torch.nn.ModuleList([torch.nn.Embedding(1024, 768) for _ in range(6)])
+    params = (
+        list(t5.parameters()) + list(proj.parameters()) + list(spatial.parameters())
+    )  # ViT frozen, as the reference freezes it for LaTr
+    opt = torch.optim.Adam(params, lr=5e-5, betas=(0.9, 0.98), eps=1e-9)
+
+    rng = np.random.RandomState(1)
+    pix = torch.tensor(rng.randn(B, 3, IMG, IMG).astype(np.float32))
+    coords = torch.tensor(rng.randint(0, 1000, (B, L_OCR, 6)), dtype=torch.long)
+    q_ids = torch.tensor(rng.randint(3, V, (B, L_Q)), dtype=torch.long)
+    ocr_ids = torch.tensor(rng.randint(3, V, (B, L_OCR)), dtype=torch.long)
+    labels = torch.tensor(rng.randint(3, V, (B, L_A)), dtype=torch.long)
+
+    def one_step():
+        opt.zero_grad()
+        img = proj(vit(pix).last_hidden_state)
+        layout = t5.shared(ocr_ids) + sum(
+            emb(coords[:, :, i]) for i, emb in enumerate(spatial)
+        )
+        fused = torch.cat([img, layout, t5.shared(q_ids)], dim=1)
+        out = t5(inputs_embeds=fused, labels=labels)
+        out.loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    times = []
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        one_step()
+        times.append(_time.perf_counter() - t0)
+    samples_per_sec = B / float(np.median(times))
+    log(f"cpu train reference (warmed): {samples_per_sec:.3f} samples/s")
+    _json.dump(
+        {"samples_per_sec": samples_per_sec, "batch": B},
+        open(CPU_TRAIN_BASELINE_CACHE, "w"),
+    )
+    return samples_per_sec
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -134,6 +206,12 @@ def main():
         flops_src = "6*N*T estimate"
     PEAK_BF16 = 197e12  # TPU v5e per-chip peak (bf16)
     mfu = flops_per_step / step_s / PEAK_BF16
+    try:
+        baseline = bench_cpu_train_reference(B, L_OCR, L_Q, L_A, IMG, V)
+        vs = throughput / baseline
+    except Exception as e:  # torch hiccup must not kill the bench line
+        log(f"cpu train baseline failed: {e}")
+        vs = -1.0
     log(
         f"TPU train: {throughput:.1f} samples/s ({step_s * 1000:.1f} ms/step), "
         f"{flops_per_step / 1e12:.2f} TFLOP/step ({flops_src}), "
@@ -145,7 +223,7 @@ def main():
                 "metric": "latr_train_samples_per_sec_per_chip",
                 "value": round(throughput, 2),
                 "unit": "samples/sec/chip",
-                "vs_baseline": -1.0,
+                "vs_baseline": round(vs, 2),
                 "step_ms": round(step_s * 1000, 2),
                 "mfu_pct": round(mfu * 100, 2),
                 "flops_per_step_t": round(flops_per_step / 1e12, 3),

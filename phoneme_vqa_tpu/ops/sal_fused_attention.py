@@ -29,6 +29,7 @@ masking, f32 softmax.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -156,8 +157,10 @@ def sal_fused_attention(
     b1dp = jnp.pad(
         bias1d, ((0, 0), (0, lq_pad - lq), (0, lk_pad - lk))
     )
+    # keep cell_bias's own dtype: it sets the scp matmul precision in-kernel
+    # (bf16 from the production path = native MXU mode; f32 in parity tests)
     cbp = jnp.pad(
-        cell_bias.astype(jnp.float32),
+        cell_bias,
         ((0, 0), (0, cdim - cell_bias.shape[1]), (0, cdim - cell_bias.shape[2])),
     )
     # one-hot of grid cells, bf16 for the MXU; sentinel/padded rows hit the
@@ -195,8 +198,6 @@ def sal_fused_attention(
 
     flops_qk = 4 * b * h * lq_pad * lk_pad * d_pad
     flops_scp = 2 * b * h * (lq_pad // block_q) * block_q * cdim * (cdim + lk_pad)
-    import functools
-
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=h),
         grid=grid,

@@ -193,12 +193,16 @@ def test_executor_train_step_mesh_equivalence(tmp_path):
 
 @pytest.mark.slow
 def test_executor_infer_mesh_equivalence(tmp_path):
-    """Greedy eval decode through the executor matches across meshes."""
+    """Greedy eval decode through the executor matches across meshes,
+    including tensor-parallel parameter placement."""
     _, _, ex_1 = _executor_one_step(tmp_path, "s2", {"data": 1, "model": 1})
     _, _, ex_dp = _executor_one_step(tmp_path, "d2", {"data": 8})
+    _, _, ex_tp = _executor_one_step(tmp_path, "t2", {"data": 4, "model": 2})
     preds_1 = ex_1.infer(ex_1.val_data, 8, 6)
     preds_dp = ex_dp.infer(ex_dp.val_data, 8, 6)
+    preds_tp = ex_tp.infer(ex_tp.val_data, 8, 6)
     assert preds_1 == preds_dp
+    assert preds_1 == preds_tp
 
 
 def test_loader_shards_partition_rows():
