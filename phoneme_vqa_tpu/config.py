@@ -38,6 +38,16 @@ class Config(dict):
             out[k] = v.clone() if isinstance(v, Config) else v
         return out
 
+    def require(self, *keys: str) -> None:
+        """Fail fast with ALL missing keys named (the reference's yacs config
+        would surface one cryptic AttributeError deep in an executor)."""
+        missing = [k for k in keys if k not in self or self[k] is None]
+        if missing:
+            raise ValueError(
+                f"config is missing required key(s) {missing} — add them to "
+                f"the YAML preset (see configs/ for complete examples)"
+            )
+
 
 # Defaults for keys that executors read but some reference YAMLs omit.
 # (yacs would raise; the reference relies on every YAML carrying them.)

@@ -59,10 +59,14 @@ class BaseExecutor:
             _attn.enable_sal_fused(bool(config.get("SAL_FUSED")))
 
         if mode == "train":
+            config.require(*self.REQUIRED_TRAIN_KEYS)
             self._create_data_utils()
             self._build_model()
             self._init_training_properties()
         elif mode in ("eval", "predict"):
+            config.require(
+                "qa_predict_path" if mode == "predict" else "qa_val_path"
+            )
             self._init_eval_predict_mode()
             self._build_model()
         else:
@@ -70,6 +74,17 @@ class BaseExecutor:
         self._place_state()
 
     # -- subclass hooks -------------------------------------------------------
+
+    # keys every train run needs; executor families extend with their data
+    # paths (fail-fast with all missing keys named, rather than a cryptic
+    # error deep inside featurization — the reference had no validation)
+    REQUIRED_TRAIN_KEYS: tuple = (
+        "EXECUTOR", "NUM_EPOCHS", "LR", "BETAS",
+        "TRAIN_BATCH_SIZE", "EVAL_BATCH_SIZE",
+        "max_q_length", "max_a_length", "max_eval_length",
+        "qa_train_path", "qa_val_path",
+        "MODEL_CLASS", "MODEL_MOD_CONFIG_CLASS",
+    )
 
     def _create_data_utils(self):
         raise NotImplementedError

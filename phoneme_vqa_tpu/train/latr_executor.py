@@ -28,6 +28,10 @@ log = get_logger(__name__)
 
 @EXECUTORS.register("LaTr_Executor")
 class LaTrExecutor(BaseExecutor):
+    REQUIRED_TRAIN_KEYS = BaseExecutor.REQUIRED_TRAIN_KEYS + (
+        "ocr_path", "base_img_path", "max_ocr_element", "max_ocr_length",
+        "backbone_name",
+    )
     BATCH_KEYS = (
         "pixel_values",
         "coordinates",

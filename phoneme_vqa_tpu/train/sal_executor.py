@@ -14,6 +14,7 @@ from ..data.sal import SaLDataset
 from ..tokenizers.backbone import load_backbone_tokenizer
 from ..utils.logger import get_logger
 from ..utils.registry import EXECUTORS
+from .base_executor import BaseExecutor
 from .latr_executor import LaTrExecutor
 
 log = get_logger(__name__)
@@ -21,6 +22,11 @@ log = get_logger(__name__)
 
 @EXECUTORS.register("SaL_Executor")
 class SaLExecutor(LaTrExecutor):
+    REQUIRED_TRAIN_KEYS = BaseExecutor.REQUIRED_TRAIN_KEYS + (
+        "base_ocr_feature_path", "base_obj_feature_path", "context_token",
+        "max_ocr_element", "max_ocr_length", "max_obj_element",
+        "max_obj_length", "backbone_name",
+    )
     BATCH_KEYS = (
         "input_ids",
         "src_attention_mask",

@@ -30,3 +30,20 @@ def test_preset_resolves(path):
     builder = MODEL_CONFIGS.get(cfg.MODEL_MOD_CONFIG_CLASS)()
     model_cfg = builder.build(cfg)
     assert model_cfg.t5.d_model == 768
+
+
+def test_missing_required_keys_fail_fast(tmp_path):
+    """A config missing data paths names ALL missing keys up front instead of
+    failing deep inside featurization."""
+    import pytest
+    import yaml
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    p = tmp_path / "broken.yaml"
+    yaml.safe_dump({"EXECUTOR": "LaTr_Executor"}, open(p, "w"))
+    config = get_config(str(p))
+    with pytest.raises(ValueError, match="qa_train_path"):
+        EXECUTORS.get(config.EXECUTOR)(config, mode="train")
