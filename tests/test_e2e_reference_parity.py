@@ -168,6 +168,169 @@ def test_identical_answer_strings_end_to_end(tmp_path):
     assert len(ours) == 6
 
 
+def test_sal_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for the SaL family — the hardest one: three feature streams
+    (question / OCR-with-det⊕rec-features / OBJ-with-region-features), RMS-
+    normed projections, and the injected 2D position bias (1D sequence + SCP
+    grid on the OCR block). The reference model (`/root/reference/core/model/
+    SaL.py`) is built offline by substituting its `from_pretrained` with a
+    same-config random-init `T52dForConditionalGeneration` and its bias
+    modules with CPU-device instances.
+
+    The reference's shipped `generate` drops the attention mask AND its
+    encoder never folds the mask into the injected bias (HF skips mask
+    addition when `position_bias` is supplied) — the intended masked path is
+    reconstructed here by pre-adding the extended mask to the bias, matching
+    the divergence documented in `models/rel_bias_2d.py`.
+    """
+    import functools
+
+    from transformers import T5Config as HFT5Config
+
+    from phoneme_vqa_tpu.data.synthetic import make_sal_fixture, tiny_sal_yaml
+    from phoneme_vqa_tpu.models.hf_import import ImportReport, import_t5_params
+
+    max_len = 10
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+
+    ref_mod = load_reference_package("core.model.SaL")
+    sal_utils = load_reference_package("core.model.modules.SaL_utils")
+
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    # attributes SaL.__init__ reads off its config (SaL.py:28-43)
+    t5_cfg.new_token_embedding_size = 512  # fallback tokenizer: no <c> resize
+    t5_cfg.ocr_hidden = config.ocr_hidden
+    t5_cfg.obj_hidden = config.obj_hidden
+
+    class _T52dF:
+        @staticmethod
+        def from_pretrained(name):
+            return sal_utils.T52dForConditionalGeneration(t5_cfg)
+
+    old = (
+        ref_mod.T52dForConditionalGeneration,
+        ref_mod.RelativePositionBias1D,
+        ref_mod.SCPRelativePositionBias,
+    )
+    ref_mod.T52dForConditionalGeneration = _T52dF
+    ref_mod.RelativePositionBias1D = functools.partial(
+        sal_utils.RelativePositionBias1D, device="cpu"
+    )
+    ref_mod.SCPRelativePositionBias = functools.partial(
+        sal_utils.SCPRelativePositionBias, device="cpu"
+    )
+    try:
+        torch.manual_seed(13)
+        ref = ref_mod.SaL(t5_cfg, obj_dropout=0.0, ocr_dropout=0.0).eval()
+    finally:
+        (
+            ref_mod.T52dForConditionalGeneration,
+            ref_mod.RelativePositionBias1D,
+            ref_mod.SCPRelativePositionBias,
+        ) = old
+
+    # --- weight import: backbone via the T5 mapper, the SaL extras by hand --
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    sd = {k: v.numpy() for k, v in ref.backbone.state_dict().items()}
+    # the fork keeps T5Stack's own encoder rel-bias table but never evaluates
+    # it (the injected 2D bias replaces it, SaL_utils.py:437); our encoder
+    # likewise never materializes one, so the tensor has no destination
+    unused = "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    sd.pop(unused)
+    params["t5"] = import_t5_params(params["t5"], sd, report=report)
+    assert not report.failed, report.failed
+    params["rel2d"]["rel1d"]["embedding"] = (
+        ref.rel2Dbias.Relative1D.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    params["rel2d"]["scp"]["embedding"] = (
+        ref.rel2Dbias.SCP.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    for stream in ("ocr", "obj"):
+        proj = getattr(ref, f"{stream}_feature_projector")
+        bbox = getattr(ref, f"{stream}_bbox_projector")
+        norm = getattr(ref, f"{stream}_feature_layer_norm")
+        params[f"{stream}_feature_projector"]["kernel"] = (
+            proj.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_feature_projector"]["bias"] = (
+            proj.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["kernel"] = (
+            bbox.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["bias"] = (
+            bbox.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_norm"]["weight"] = (
+            norm.weight.detach().numpy().astype(np.float32)
+        )
+    ex.state = ex.state.replace(params=params)
+    ex._place_state()
+
+    # --- our production path ------------------------------------------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: its own fusion + 2D bias + HF generate -------------
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        tt = lambda k, dt: torch.tensor(np.asarray(batch[k])).to(dt)
+        with torch.no_grad():
+            obj_emb = ref.calculate_obj_embedding(
+                tt("tokenized_obj", torch.long),
+                tt("obj_coordinates", torch.float32),
+                tt("obj_features", torch.float32),
+            )
+            ocr_emb = ref.calculate_ocr_embedding(
+                tt("tokenized_ocr", torch.long),
+                tt("ocr_coordinates", torch.float32),
+                tt("ocr_features", torch.float32),
+            )
+            ques_emb = ref.backbone.shared(tt("input_ids", torch.long))
+            emb = torch.cat([ques_emb, ocr_emb, obj_emb], dim=1)
+            mask = torch.cat(
+                [
+                    tt("src_attention_mask", torch.long),
+                    tt("ocr_attention_mask", torch.long),
+                    tt("obj_attention_mask", torch.long),
+                ],
+                dim=1,
+            )
+            bias = ref.rel2Dbias(
+                emb, mask, tt("ocr_coordinates", torch.float32),
+                config.max_q_length, config.max_ocr_length,
+            )
+            # the intended masked path (see docstring): fold the key padding
+            # mask into the injected bias the way HF does for its own bias
+            ext = (1.0 - mask.to(torch.float32)) * torch.finfo(torch.float32).min
+            bias = bias + ext[:, None, None, :]
+            out = ref.backbone.generate(
+                inputs_embeds=emb,
+                attention_mask=mask,
+                position_bias=bias,
+                max_length=max_len,
+                do_sample=False,
+                num_beams=1,
+            )
+        ref_rows.extend(np.asarray(out)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
+
+
 def test_prestu_identical_answer_strings_end_to_end(tmp_path):
     """Same gate for the PreSTU family (no spatial stream; OCR fused into
     input_ids by the dataset)."""
