@@ -173,8 +173,13 @@ def import_t5_params(
     # we actually carry a separate head
     if "lm_head" in t5_params:
         mapping["lm_head.weight"] = "lm_head"
-    n_enc = len([k for k in t5_params["encoder"] if k.startswith("block_")])
-    n_dec = len([k for k in t5_params["decoder"] if k.startswith("block_")])
+    # encoder-only models (Customized*/Phoneme* families replace the T5
+    # decoder with a custom one) never materialize a "decoder" subtree
+    def _n_blocks(stack: str) -> int:
+        return len([k for k in t5_params.get(stack, ()) if k.startswith("block_")])
+
+    n_enc = _n_blocks("encoder")
+    n_dec = _n_blocks("decoder")
     for i in range(n_enc):
         for hf_k, ours in _t5_block_map("encoder", i, decoder=False).items():
             mapping[hf_k] = f"encoder/{ours}"

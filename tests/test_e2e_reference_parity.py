@@ -331,6 +331,207 @@ def test_sal_identical_answer_strings_end_to_end(tmp_path):
     assert len(ours) == 6
 
 
+def test_phoneme_sal_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for PhonemeSaL — the one phoneme-family pipeline whose
+    reference decode actually runs (`/root/reference/core/model/
+    PhonemeSaL.py:135-192`): SaL fusion + injected 2D bias encoder, flat
+    phoneme stream through an (unscaled) embedding + sinusoidal PE +
+    nn.TransformerDecoder, greedy with a per-row break_signal latch, and
+    `compose_word` detokenization back to diacritic-correct text.
+
+    Reconstructed intended-mask semantics (documented divergences):
+    * the injected encoder bias never receives the padding mask in the
+      reference (HF skips mask-addition for supplied bias) — pre-added here;
+    * the reference feeds int64 0/1 masks to `memory_key_padding_mask`,
+      which torch>=2 rejects (`PhonemeSaL.py:122-131`) — the intended bool
+      "True = ignore" mask is passed here.
+
+    Our decoder's sqrt(d)-scaled embedding is the reference's unscaled one
+    reparameterized (models/phoneme.py PhonemeSaL docstring): importing
+    `weight / sqrt(d)` makes the two numerically equal.
+    """
+    import functools
+
+    from transformers import T5Config as HFT5Config
+
+    from phoneme_vqa_tpu.data.synthetic import make_sal_fixture, tiny_sal_yaml
+    from phoneme_vqa_tpu.models.hf_import import ImportReport, import_t5_params
+
+    max_len = 12
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="PhonemeSaL_Executor", MODEL_CLASS="PhonemeSaL",
+        MODEL_MOD_CONFIG_CLASS="CustomizedSaL_config",
+        num_decoder_layers=2, n_head=4, max_a_length=24,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tok = ex.decode_tokenizer
+    d_model = 32
+
+    ref_mod = load_reference_package("core.model.PhonemeSaL")
+    sal_utils = load_reference_package("core.model.modules.SaL_utils")
+
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=d_model, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    t5_cfg.new_token_embedding_size = 512
+    t5_cfg.ocr_hidden = config.ocr_hidden
+    t5_cfg.obj_hidden = config.obj_hidden
+    t5_cfg.num_decoder_layers = 2
+    t5_cfg.n_head = 4
+
+    class _EncF:
+        @staticmethod
+        def from_pretrained(name):
+            return sal_utils.T52DEncoderModel(t5_cfg)
+
+    old = (
+        ref_mod.T52DEncoderModel,
+        ref_mod.RelativePositionBias1D,
+        ref_mod.SCPRelativePositionBias,
+    )
+    ref_mod.T52DEncoderModel = _EncF
+    ref_mod.RelativePositionBias1D = functools.partial(
+        sal_utils.RelativePositionBias1D, device="cpu"
+    )
+    ref_mod.SCPRelativePositionBias = functools.partial(
+        sal_utils.SCPRelativePositionBias, device="cpu"
+    )
+    try:
+        torch.manual_seed(29)
+        ref = ref_mod.PhonemeSaL(
+            t5_cfg, vocab_size=tok.size, obj_dropout=0.0, ocr_dropout=0.0
+        ).eval()
+    finally:
+        (
+            ref_mod.T52DEncoderModel,
+            ref_mod.RelativePositionBias1D,
+            ref_mod.SCPRelativePositionBias,
+        ) = old
+
+    # --- weight import -------------------------------------------------------
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    sd = {k: v.numpy() for k, v in ref.encoder.state_dict().items()}
+    sd.pop("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+    params["t5"] = import_t5_params(params["t5"], sd, report=report)
+    assert not report.failed, report.failed
+    params["rel2d"]["rel1d"]["embedding"] = (
+        ref.rel2Dbias.Relative1D.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    params["rel2d"]["scp"]["embedding"] = (
+        ref.rel2Dbias.SCP.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    for stream in ("ocr", "obj"):
+        proj = getattr(ref, f"{stream}_feature_projector")
+        bbox = getattr(ref, f"{stream}_bbox_projector")
+        norm = getattr(ref, f"{stream}_feature_layer_norm")
+        params[f"{stream}_feature_projector"]["kernel"] = (
+            proj.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_feature_projector"]["bias"] = (
+            proj.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["kernel"] = (
+            bbox.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["bias"] = (
+            bbox.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_norm"]["weight"] = (
+            norm.weight.detach().numpy().astype(np.float32)
+        )
+    # custom decoder: unscaled reference embedding -> our scaled one
+    dec = params["decoder"]
+    dec["embed"]["embedding"] = (
+        ref.tgt_tok_emb.weight.detach().numpy() / np.sqrt(d_model)
+    ).astype(np.float32)
+    dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
+    dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
+    for i, tl in enumerate(ref.decoder.decoder.layers):
+        dst = dec[f"layer_{i}"]
+        for src_attn, name in (
+            (tl.self_attn, "self_attn"), (tl.multihead_attn, "cross_attn"),
+        ):
+            w = src_attn.in_proj_weight.detach().numpy()
+            b = src_attn.in_proj_bias.detach().numpy()
+            for j, proj in enumerate(("q", "k", "v")):
+                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
+                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
+            dst[name]["out"]["kernel"] = src_attn.out_proj.weight.detach().numpy().T
+            dst[name]["out"]["bias"] = src_attn.out_proj.bias.detach().numpy()
+        dst["fc1"]["kernel"] = tl.linear1.weight.detach().numpy().T
+        dst["fc1"]["bias"] = tl.linear1.bias.detach().numpy()
+        dst["fc2"]["kernel"] = tl.linear2.weight.detach().numpy().T
+        dst["fc2"]["bias"] = tl.linear2.bias.detach().numpy()
+        for k, ln in (("ln1", tl.norm1), ("ln2", tl.norm2), ("ln3", tl.norm3)):
+            dst[k]["scale"] = ln.weight.detach().numpy()
+            dst[k]["bias"] = ln.bias.detach().numpy()
+    ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
+    ex._place_state()
+
+    # --- our production path -------------------------------------------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: fusion + biased encoder + break_signal greedy -------
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        tt = lambda k, dt: torch.tensor(np.asarray(batch[k])).to(dt)
+        with torch.no_grad():
+            obj_emb = ref._calculate_obj_embedding(
+                tt("tokenized_obj", torch.long),
+                tt("obj_coordinates", torch.float32),
+                tt("obj_features", torch.float32),
+            )
+            ocr_emb = ref._calculate_ocr_embedding(
+                tt("tokenized_ocr", torch.long),
+                tt("ocr_coordinates", torch.float32),
+                tt("ocr_features", torch.float32),
+            )
+            ques_emb = ref.encoder.shared(tt("input_ids", torch.long))
+            emb = torch.cat([ques_emb, ocr_emb, obj_emb], dim=1)
+            mask = torch.cat(
+                [
+                    tt("src_attention_mask", torch.long),
+                    tt("ocr_attention_mask", torch.long),
+                    tt("obj_attention_mask", torch.long),
+                ],
+                dim=1,
+            )
+            bias = ref.rel2Dbias(
+                emb, mask, tt("ocr_coordinates", torch.float32),
+                config.max_q_length, config.max_ocr_length,
+            )
+            ext = (1.0 - mask.to(torch.float32)) * torch.finfo(torch.float32).min
+            bias = bias + ext[:, None, None, :]
+            enc_out = ref.encoder(
+                attention_mask=mask, inputs_embeds=emb, position_bias=bias
+            ).last_hidden_state
+
+            bz = emb.shape[0]
+            ys = torch.full((bz, 1), tok.bos_idx, dtype=torch.long)
+            break_signal = torch.zeros_like(ys)
+            for _ in range(max_len - 1):
+                out = ref.decode(ys, enc_out, mask == 0)  # bool: True = ignore
+                nxt = torch.argmax(ref.lm_head(out)[:, -1], dim=-1)
+                break_signal = torch.where(nxt == tok.eos_idx, 1, break_signal)
+                ys = torch.cat([ys, nxt.unsqueeze(1)], dim=1)
+                if torch.all(break_signal):
+                    break
+        ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
+
+
 def test_prestu_identical_answer_strings_end_to_end(tmp_path):
     """Same gate for the PreSTU family (no spatial stream; OCR fused into
     input_ids by the dataset)."""
