@@ -168,6 +168,30 @@ def test_identical_answer_strings_end_to_end(tmp_path):
     assert len(ours) == 6
 
 
+def _import_torch_decoder_layers(dec_params, torch_layers, d_model):
+    """torch nn.TransformerDecoder layers -> our CustomDecoder layer params
+    (packed in_proj qkv split three ways, post-LN norms)."""
+    for i, tl in enumerate(torch_layers):
+        dst = dec_params[f"layer_{i}"]
+        for src_attn, name in (
+            (tl.self_attn, "self_attn"), (tl.multihead_attn, "cross_attn"),
+        ):
+            w = src_attn.in_proj_weight.detach().numpy()
+            b = src_attn.in_proj_bias.detach().numpy()
+            for j, proj in enumerate(("q", "k", "v")):
+                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
+                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
+            dst[name]["out"]["kernel"] = src_attn.out_proj.weight.detach().numpy().T
+            dst[name]["out"]["bias"] = src_attn.out_proj.bias.detach().numpy()
+        dst["fc1"]["kernel"] = tl.linear1.weight.detach().numpy().T
+        dst["fc1"]["bias"] = tl.linear1.bias.detach().numpy()
+        dst["fc2"]["kernel"] = tl.linear2.weight.detach().numpy().T
+        dst["fc2"]["bias"] = tl.linear2.bias.detach().numpy()
+        for k, ln in (("ln1", tl.norm1), ("ln2", tl.norm2), ("ln3", tl.norm3)):
+            dst[k]["scale"] = ln.weight.detach().numpy()
+            dst[k]["bias"] = ln.bias.detach().numpy()
+
+
 def test_sal_identical_answer_strings_end_to_end(tmp_path):
     """Same gate for the SaL family — the hardest one: three feature streams
     (question / OCR-with-det⊕rec-features / OBJ-with-region-features), RMS-
@@ -331,6 +355,153 @@ def test_sal_identical_answer_strings_end_to_end(tmp_path):
     assert len(ours) == 6
 
 
+def test_customized_latr_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for CustomizedLaTr (`/root/reference/core/model/
+    CustomizedLaTr.py:45-184`): frozen-ViT T5 *encoder-only* backbone with
+    the LaTr spatial fusion, then the custom decoder (scaled TokenEmbedding +
+    sinusoidal PE + nn.TransformerDecoder + lm head) over a pluggable answer
+    tokenizer (ByteTokenizer here), greedy full-re-decode loop.
+
+    The reference feeds its int64 0/1 attention mask to
+    `memory_key_padding_mask` (`CustomizedLaTr.py:104-109`), which torch>=2
+    rejects — the intended bool "True = ignore" mask is passed here (README
+    "Reference bugs fixed by design")."""
+    from transformers import (
+        T5Config as HFT5Config,
+        T5EncoderModel,
+        ViTConfig as HFViTConfig,
+        ViTModel,
+    )
+
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_t5_params,
+        import_vit_params,
+    )
+
+    max_len = 12
+    d_model = 32
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, isgreedy=True, num_beam=1, max_a_length=16,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tok = ex.decode_tokenizer
+
+    ref_mod = load_reference_package("core.model.CustomizedLaTr")
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=d_model, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    vit_cfg = HFViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+
+    class _T5EncF:
+        @staticmethod
+        def from_pretrained(name):
+            return T5EncoderModel(t5_cfg)
+
+    class _ViTF:
+        @staticmethod
+        def from_pretrained(name):
+            return ViTModel(vit_cfg)
+
+    old = (ref_mod.T5EncoderModel, ref_mod.ViTModel)
+    ref_mod.T5EncoderModel, ref_mod.ViTModel = _T5EncF, _ViTF
+    try:
+        t5_cfg.max_2d_position_embeddings = 1024
+        t5_cfg.vit_model = "unused-offline"
+        t5_cfg.num_decoder_layers = 2
+        t5_cfg.n_head = 4
+        torch.manual_seed(23)
+        ref = ref_mod.CustomizedLaTr(t5_cfg, tgt_vocab_size=len(tok)).eval()
+    finally:
+        ref_mod.T5EncoderModel, ref_mod.ViTModel = old
+
+    # --- weight import -------------------------------------------------------
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    params["t5"] = import_t5_params(
+        params["t5"],
+        {k: v.numpy() for k, v in ref.encoder.state_dict().items()},
+        report=report,
+    )
+    params["vit"] = import_vit_params(
+        params["vit"],
+        {k: v.numpy() for k, v in ref.vit.state_dict().items()},
+        report=report,
+    )
+    assert not report.failed, report.failed
+    sp = ref.spatial_feat_extractor
+    params["spatial"]["tables"] = np.stack(
+        [
+            m.weight.detach().numpy()
+            for m in (sp.top_left_x, sp.top_left_y, sp.bottom_right_x,
+                      sp.bottom_right_y, sp.width_emb, sp.height_emb)
+        ]
+    ).astype(np.float32)
+    params["visual_projector"]["kernel"] = (
+        ref.visual_projector.weight.detach().numpy().T.astype(np.float32)
+    )
+    params["visual_projector"]["bias"] = (
+        ref.visual_projector.bias.detach().numpy().astype(np.float32)
+    )
+    dec = params["decoder"]
+    # reference TokenEmbedding is sqrt(d)-scaled like ours: import directly
+    dec["embed"]["embedding"] = (
+        ref.tgt_tok_emb.embedding.weight.detach().numpy().astype(np.float32)
+    )
+    dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
+    dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
+    ex._place_state()
+
+    # --- our production path -------------------------------------------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: fusion + encoder + greedy full re-decode ------------
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        with torch.no_grad():
+            emb, mask = ref._calculate_embedding(
+                torch.tensor(np.asarray(batch["pixel_values"])),
+                torch.tensor(np.asarray(batch["coordinates"]), dtype=torch.long),
+                torch.tensor(np.asarray(batch["input_ids"]), dtype=torch.long),
+                torch.tensor(np.asarray(batch["ocr_attention_mask"]), dtype=torch.long),
+                torch.tensor(np.asarray(batch["src_attention_mask"]), dtype=torch.long),
+                torch.tensor(np.asarray(batch["tokenized_ocr"]), dtype=torch.long),
+            )
+            enc_out = ref.encoder(
+                attention_mask=mask, inputs_embeds=emb
+            ).last_hidden_state
+            bz = emb.shape[0]
+            ys = torch.full((bz, 1), tok.bos_id, dtype=torch.long)
+            for _ in range(max_len - 1):
+                out = ref.decode(ys, enc_out, mask == 0)  # bool: True = ignore
+                nxt = torch.argmax(ref.lm_head(out[:, -1]), dim=-1)
+                ys = torch.cat([ys, nxt.view(bz, 1)], dim=1)
+                if (ys == tok.eos_id).any(dim=1).sum() == bz:
+                    break
+        ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
+
+
 def test_phoneme_sal_identical_answer_strings_end_to_end(tmp_path):
     """Same gate for PhonemeSaL — the one phoneme-family pipeline whose
     reference decode actually runs (`/root/reference/core/model/
@@ -454,25 +625,7 @@ def test_phoneme_sal_identical_answer_strings_end_to_end(tmp_path):
     ).astype(np.float32)
     dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
     dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
-    for i, tl in enumerate(ref.decoder.decoder.layers):
-        dst = dec[f"layer_{i}"]
-        for src_attn, name in (
-            (tl.self_attn, "self_attn"), (tl.multihead_attn, "cross_attn"),
-        ):
-            w = src_attn.in_proj_weight.detach().numpy()
-            b = src_attn.in_proj_bias.detach().numpy()
-            for j, proj in enumerate(("q", "k", "v")):
-                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
-                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
-            dst[name]["out"]["kernel"] = src_attn.out_proj.weight.detach().numpy().T
-            dst[name]["out"]["bias"] = src_attn.out_proj.bias.detach().numpy()
-        dst["fc1"]["kernel"] = tl.linear1.weight.detach().numpy().T
-        dst["fc1"]["bias"] = tl.linear1.bias.detach().numpy()
-        dst["fc2"]["kernel"] = tl.linear2.weight.detach().numpy().T
-        dst["fc2"]["bias"] = tl.linear2.bias.detach().numpy()
-        for k, ln in (("ln1", tl.norm1), ("ln2", tl.norm2), ("ln3", tl.norm3)):
-            dst[k]["scale"] = ln.weight.detach().numpy()
-            dst[k]["bias"] = ln.bias.detach().numpy()
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
     ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
     ex._place_state()
 
