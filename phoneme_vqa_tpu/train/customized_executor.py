@@ -19,7 +19,7 @@ from ..data.loader import num_batches
 from ..utils.logger import get_logger
 from ..utils.registry import EXECUTORS, TOKENIZERS
 from .latr_executor import LaTrExecutor
-from .optim import build_optimizer, linear_warmup_schedule
+from .optim import build_optimizer, linear_warmup_schedule, mu_dtype_from_config
 from .prestu_executor import PreSTUExecutor
 from .sal_executor import SaLExecutor
 from .state import TrainState
@@ -102,7 +102,9 @@ class _CustomizedMixin:
     def _init_training_properties(self):
         c = self.config
         schedule = linear_warmup_schedule(c.LR, c.get("warmup_step", 1000))
-        self.tx = build_optimizer(schedule, betas=tuple(c.BETAS))
+        self.tx = build_optimizer(
+            schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c)
+        )
         self.state = TrainState.create(self.params, self.tx)
         self._maybe_resume()
         self.train_step = self._make_train_step()

@@ -46,10 +46,17 @@ def build_optimizer(
     betas=(0.9, 0.98),
     eps: float = 1e-9,
     freeze_predicate: Optional[Callable[[tuple], bool]] = None,
+    mu_dtype=None,
 ):
     """Adam with schedule; optionally zero updates for frozen subtrees
-    (optax.masked equivalent of the reference's requires_grad freeze)."""
-    tx = optax.adam(lr_schedule, b1=betas[0], b2=betas[1], eps=eps)
+    (optax.masked equivalent of the reference's requires_grad freeze).
+
+    ``mu_dtype`` (YAML ``OPT_MU_DTYPE: bfloat16``) stores the first moment in
+    a reduced dtype: -25 % optimizer memory and HBM traffic per step. The
+    second moment stays f32 (its rsqrt needs the dynamic range)."""
+    tx = optax.adam(
+        lr_schedule, b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
+    )
     if freeze_predicate is None:
         return tx
 
@@ -66,6 +73,12 @@ def build_optimizer(
     return optax.multi_transform(
         {"train": tx, "frozen": optax.set_to_zero()}, label_tree
     )
+
+
+def mu_dtype_from_config(config):
+    """YAML ``OPT_MU_DTYPE`` ('bfloat16'/'float32') -> dtype or None."""
+    name = config.get("OPT_MU_DTYPE", None)
+    return None if name in (None, "", "float32") else jnp.dtype(name)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int):

@@ -1,0 +1,70 @@
+"""Optimizer construction knobs (train/optim.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phoneme_vqa_tpu.train.optim import (
+    build_optimizer,
+    epoch_decay_schedule,
+    linear_warmup_schedule,
+    mu_dtype_from_config,
+)
+
+
+def _tiny_tree():
+    return {"w": jnp.ones((4, 3), jnp.float32), "b": jnp.zeros((3,), jnp.float32)}
+
+
+def test_mu_dtype_knob_stores_bf16_first_moment():
+    tx = build_optimizer(lambda s: 1e-3, mu_dtype=jnp.bfloat16)
+    params = _tiny_tree()
+    opt_state = tx.init(params)
+    mus = [l for l in jax.tree.leaves(opt_state) if getattr(l, "dtype", None) == jnp.bfloat16]
+    assert mus, "no bf16 leaves in opt state"
+    # nu must stay f32 (rsqrt dynamic range)
+    adam = opt_state[0]
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(adam.mu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(adam.nu))
+    # an update step still moves params in the right direction
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert all(np.all(np.asarray(u) < 0) for u in jax.tree.leaves(updates))
+
+
+def test_mu_dtype_close_to_f32_reference():
+    """bf16 mu tracks the f32-mu trajectory closely over a few steps."""
+    def run(mu_dtype):
+        tx = build_optimizer(lambda s: 1e-2, mu_dtype=mu_dtype)
+        params = _tiny_tree()
+        opt_state = tx.init(params)
+        rng = np.random.RandomState(0)
+        for _ in range(10):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params
+
+    a, b = run(None), run(jnp.bfloat16)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-3)
+
+
+def test_mu_dtype_from_config():
+    class C(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    assert mu_dtype_from_config(C()) is None
+    assert mu_dtype_from_config(C(OPT_MU_DTYPE="float32")) is None
+    assert mu_dtype_from_config(C(OPT_MU_DTYPE="bfloat16")) == jnp.bfloat16
+
+
+def test_schedules():
+    s = epoch_decay_schedule(1.0, steps_per_epoch=10)
+    assert s(0) == 1.0 and np.isclose(s(10), 0.95) and np.isclose(s(25), 0.95**2)
+    w = linear_warmup_schedule(3.0, warmup_steps=6)
+    assert np.isclose(float(w(0)), 1.0) and np.isclose(float(w(6)), 3.0)
+    assert np.isclose(float(w(12)), 3.0)
