@@ -73,9 +73,19 @@ class FallbackSubwordTokenizer:
         chunks = [word[i : i + 4] for i in range(0, len(word), 4)] or [word]
         return [("▁" + chunks[0])] + chunks[1:]
 
+    # HF tokenizers parse special-token strings in plain text to their ids
+    # (the data layer relies on the '"<pad> " + text' decoder-start
+    # convention, data/latr.py:36-39) — the fallback must do the same or
+    # train-time decoder inputs never start with the decode start symbol
+    _SPECIAL_STRINGS = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+
     def _encode_text(self, text: str) -> List[int]:
         ids: List[int] = []
         for i, word in enumerate(text.split()):
+            special = self._SPECIAL_STRINGS.get(word)
+            if special is not None:
+                ids.append(special)
+                continue
             for piece in self._word_pieces(word, i == 0):
                 ids.append(self._piece_id(piece))
         return ids

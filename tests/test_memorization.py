@@ -1,0 +1,54 @@
+"""End-to-end learning gate: train-to-memorization on a tiny fixture.
+
+The strongest honest evidence that the full training loop *learns* (not just
+runs): a tiny random-init LaTr trained on 96 synthetic rows must emit the
+exact training answer strings through the real `infer` decode path. This is
+the behavior the reference demonstrates only implicitly via "loss goes down"
+(`/root/reference/core/executor/base_executor.py:92-94`); here it is a hard
+gate on answer strings.
+
+This also pins the train/decode coherence contract: the `"<pad> " + answer`
+decoder-input convention (data/latr.py) must map to the same start symbol the
+greedy decode seeds with — a mismatch (e.g. a tokenizer that does not parse
+special-token strings) shows up as loss going down while generations stay
+empty.
+"""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+
+@pytest.mark.slow
+def test_latr_trains_to_memorization(tmp_path):
+    paths = make_latr_fixture(str(tmp_path), n_rows=96)
+    yaml_path = tiny_latr_yaml(
+        paths,
+        os.path.join(str(tmp_path), "ck"),
+        NUM_EPOCHS=1,
+        SAVE=False,
+        LR=3e-3,
+        TRAIN_BATCH_SIZE=8,
+        max_eval_length=12,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+
+    losses = []
+    for epoch in range(1, 13):
+        losses.append(ex._train_epoch(epoch))
+    gens = ex.infer(ex.val_data, 8, 12)
+    answers = [str(a) for a in ex.val_answer]
+    acc = sum(g == a for g, a in zip(gens, answers)) / len(gens)
+
+    assert losses[-1] < losses[0] * 0.7, losses
+    # measured: exact-match 1.00 by epoch 10 at LR 3e-3; threshold is
+    # flake-tolerant but still requires real answer strings to come out
+    assert acc >= 0.5, list(zip(gens, answers))[:8]

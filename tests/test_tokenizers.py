@@ -170,6 +170,11 @@ def test_fallback_backbone_tokenizer():
     enc = tok("<pad> xin chào thế giới", padding="max_length", max_length=16, truncation=True)
     assert len(enc["input_ids"]) == 16 and len(enc["attention_mask"]) == 16
     assert enc["input_ids"][-1] == tok.pad_token_id
+    # special-token strings in plain text map to their ids, matching HF
+    # behavior — the data layer's '"<pad> " + answer' decoder-start
+    # convention (data/latr.py) depends on this
+    assert enc["input_ids"][0] == tok.pad_token_id
+    assert tok("a </s> b", add_special_tokens=False)["input_ids"][1] == tok.eos_token_id
     # word-split OCR encoding (no specials) and per-word ids used for alignment
     words = ["hello", "world", "foobarbazqux"]
     joint = tok(words, is_split_into_words=True, add_special_tokens=False)
