@@ -783,3 +783,316 @@ def test_prestu_identical_answer_strings_end_to_end(tmp_path):
         ref_rows.extend(np.asarray(out)[:n_valid].tolist())
     theirs = ex._decode_rows(ref_rows)
     assert ours == theirs, list(zip(ours, theirs))
+
+
+def test_customized_prestu_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for CustomizedPreSTU (`/root/reference/core/model/
+    CustomizedPreSTU.py:16-144`): T5 *encoder-only* backbone over the fused
+    [ViT patches, shared-embed(q⊕ocr ids)] sequence, then the custom decoder
+    (scaled TokenEmbedding + sinusoidal PE + nn.TransformerDecoder + lm head)
+    over a pluggable answer tokenizer, greedy full-re-decode loop
+    (`CustomizedPreSTU.py:95-126`; `isgreedy` is ignored there — greedy only).
+
+    As with CustomizedLaTr, the reference feeds its float 1/0 attention mask
+    to `memory_key_padding_mask` (`CustomizedPreSTU.py:70-73`), which
+    torch>=2 rejects — the intended bool "True = ignore" mask is passed here
+    (README "Reference bugs fixed by design")."""
+    from transformers import (
+        T5Config as HFT5Config,
+        T5EncoderModel,
+        ViTConfig as HFViTConfig,
+        ViTModel,
+    )
+
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_t5_params,
+        import_vit_params,
+    )
+
+    max_len = 12
+    d_model = 32
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="CustomizedPreSTU_Executor", MODEL_CLASS="CustomizedPreSTU",
+        MODEL_MOD_CONFIG_CLASS="CustomizedPreSTU_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, isgreedy=True, num_beam=1, max_a_length=16,
+        max_input_length=20,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tok = ex.decode_tokenizer
+
+    ref_mod = load_reference_package("core.model.CustomizedPreSTU")
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=d_model, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    vit_cfg = HFViTConfig(
+        image_size=32, patch_size=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+
+    class _T5EncF:
+        @staticmethod
+        def from_pretrained(name):
+            return T5EncoderModel(t5_cfg)
+
+    class _ViTF:
+        @staticmethod
+        def from_pretrained(name):
+            return ViTModel(vit_cfg)
+
+    old = (ref_mod.T5EncoderModel, ref_mod.ViTModel)
+    ref_mod.T5EncoderModel, ref_mod.ViTModel = _T5EncF, _ViTF
+    try:
+        t5_cfg.vit_model = "unused-offline"
+        t5_cfg.num_decoder_layers = 2
+        t5_cfg.n_head = 4
+        torch.manual_seed(29)
+        ref = ref_mod.CustomizedPreSTU(t5_cfg, tgt_vocab_size=len(tok)).eval()
+    finally:
+        ref_mod.T5EncoderModel, ref_mod.ViTModel = old
+
+    # --- weight import -------------------------------------------------------
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    params["t5"] = import_t5_params(
+        params["t5"],
+        {k: v.numpy() for k, v in ref.encoder.state_dict().items()},
+        report=report,
+    )
+    params["vit"] = import_vit_params(
+        params["vit"],
+        {k: v.numpy() for k, v in ref.vit.state_dict().items()},
+        report=report,
+    )
+    assert not report.failed, report.failed
+    params["visual_projector"]["kernel"] = (
+        ref.visual_projector.weight.detach().numpy().T.astype(np.float32)
+    )
+    params["visual_projector"]["bias"] = (
+        ref.visual_projector.bias.detach().numpy().astype(np.float32)
+    )
+    dec = params["decoder"]
+    dec["embed"]["embedding"] = (
+        ref.tgt_tok_emb.embedding.weight.detach().numpy().astype(np.float32)
+    )
+    dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
+    dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
+    ex._place_state()
+
+    # --- our production path -------------------------------------------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: fusion + encoder + greedy full re-decode ------------
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        with torch.no_grad():
+            emb, mask = ref._calculate_embedding(
+                torch.tensor(np.asarray(batch["pixel_values"])),
+                torch.tensor(np.asarray(batch["input_ids"]), dtype=torch.long),
+                torch.tensor(np.asarray(batch["src_attention_mask"]), dtype=torch.long),
+            )
+            enc_out = ref.encoder(
+                attention_mask=mask, inputs_embeds=emb
+            ).last_hidden_state
+            bz = emb.shape[0]
+            ys = torch.full((bz, 1), tok.bos_id, dtype=torch.long)
+            for _ in range(max_len - 1):
+                out = ref.decode(ys, enc_out, mask == 0)  # bool: True = ignore
+                nxt = torch.argmax(ref.lm_head(out[:, -1]), dim=-1)
+                ys = torch.cat([ys, nxt.view(bz, 1)], dim=1)
+                if (ys == tok.eos_id).any(dim=1).sum() == bz:
+                    break
+        ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
+
+
+def test_customized_sal_identical_answer_strings_end_to_end(tmp_path):
+    """Same gate for CustomizedSaL (`/root/reference/core/model/
+    CustomizedSaL.py:29-233`): SaL fusion (question/OCR/object streams with
+    det⊕rec and region features) + injected 2D relative-position bias
+    encoder, then the custom decoder (scaled TokenEmbedding + sinusoidal PE +
+    nn.TransformerDecoder + lm head) over a pluggable answer tokenizer,
+    greedy full-re-decode loop (`CustomizedSaL.py:174-233`).
+
+    The reference executor's train mode is unlaunchable as shipped
+    (`CustomizedSaL_Executor.py:81` uses the undefined `self.optimizer`) but
+    the model's greedy decode runs; this gate targets that path.
+    Reconstructed intended-mask semantics as in the other SaL gates: the
+    injected bias gets the padding mask pre-added, and the bool
+    "True = ignore" form is fed to `memory_key_padding_mask`."""
+    import functools
+
+    from transformers import T5Config as HFT5Config
+
+    from phoneme_vqa_tpu.data.synthetic import make_sal_fixture, tiny_sal_yaml
+    from phoneme_vqa_tpu.models.hf_import import ImportReport, import_t5_params
+
+    max_len = 12
+    d_model = 32
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="CustomizedSaL_Executor", MODEL_CLASS="CustomizedSaL",
+        MODEL_MOD_CONFIG_CLASS="CustomizedSaL_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, isgreedy=True, num_beam=1, max_a_length=16,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tok = ex.decode_tokenizer
+
+    ref_mod = load_reference_package("core.model.CustomizedSaL")
+    sal_utils = load_reference_package("core.model.modules.SaL_utils")
+
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=d_model, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    t5_cfg.new_token_embedding_size = 512
+    t5_cfg.ocr_hidden = config.ocr_hidden
+    t5_cfg.obj_hidden = config.obj_hidden
+    t5_cfg.num_decoder_layers = 2
+    t5_cfg.n_head = 4
+
+    class _EncF:
+        @staticmethod
+        def from_pretrained(name):
+            return sal_utils.T52DEncoderModel(t5_cfg)
+
+    old = (
+        ref_mod.T52DEncoderModel,
+        ref_mod.RelativePositionBias1D,
+        ref_mod.SCPRelativePositionBias,
+    )
+    ref_mod.T52DEncoderModel = _EncF
+    ref_mod.RelativePositionBias1D = functools.partial(
+        sal_utils.RelativePositionBias1D, device="cpu"
+    )
+    ref_mod.SCPRelativePositionBias = functools.partial(
+        sal_utils.SCPRelativePositionBias, device="cpu"
+    )
+    try:
+        torch.manual_seed(31)
+        ref = ref_mod.CustomizedSaL(
+            t5_cfg, tgt_vocab_size=len(tok), obj_dropout=0.0, ocr_dropout=0.0
+        ).eval()
+    finally:
+        (
+            ref_mod.T52DEncoderModel,
+            ref_mod.RelativePositionBias1D,
+            ref_mod.SCPRelativePositionBias,
+        ) = old
+
+    # --- weight import -------------------------------------------------------
+    params = jax.tree.map(np.asarray, ex.state.params)
+    report = ImportReport()
+    sd = {k: v.numpy() for k, v in ref.encoder.state_dict().items()}
+    sd.pop("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+    params["t5"] = import_t5_params(params["t5"], sd, report=report)
+    assert not report.failed, report.failed
+    params["rel2d"]["rel1d"]["embedding"] = (
+        ref.rel2Dbias.Relative1D.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    params["rel2d"]["scp"]["embedding"] = (
+        ref.rel2Dbias.SCP.relative_attention_bias.weight.detach().numpy()
+    ).astype(np.float32)
+    for stream in ("ocr", "obj"):
+        proj = getattr(ref, f"{stream}_feature_projector")
+        bbox = getattr(ref, f"{stream}_bbox_projector")
+        norm = getattr(ref, f"{stream}_feature_layer_norm")
+        params[f"{stream}_feature_projector"]["kernel"] = (
+            proj.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_feature_projector"]["bias"] = (
+            proj.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["kernel"] = (
+            bbox.weight.detach().numpy().T.astype(np.float32)
+        )
+        params[f"{stream}_bbox_projector"]["bias"] = (
+            bbox.bias.detach().numpy().astype(np.float32)
+        )
+        params[f"{stream}_norm"]["weight"] = (
+            norm.weight.detach().numpy().astype(np.float32)
+        )
+    dec = params["decoder"]
+    # reference TokenEmbedding is sqrt(d)-scaled like ours: import directly
+    dec["embed"]["embedding"] = (
+        ref.tgt_tok_emb.embedding.weight.detach().numpy().astype(np.float32)
+    )
+    dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
+    dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
+    ex._place_state()
+
+    # --- our production path -------------------------------------------------
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+
+    # --- reference path: fusion + biased encoder + greedy full re-decode -----
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        tt = lambda k, dt: torch.tensor(np.asarray(batch[k])).to(dt)
+        with torch.no_grad():
+            obj_emb = ref._calculate_obj_embedding(
+                tt("tokenized_obj", torch.long),
+                tt("obj_coordinates", torch.float32),
+                tt("obj_features", torch.float32),
+            )
+            ocr_emb = ref._calculate_ocr_embedding(
+                tt("tokenized_ocr", torch.long),
+                tt("ocr_coordinates", torch.float32),
+                tt("ocr_features", torch.float32),
+            )
+            ques_emb = ref.encoder.shared(tt("input_ids", torch.long))
+            emb = torch.cat([ques_emb, ocr_emb, obj_emb], dim=1)
+            mask = torch.cat(
+                [
+                    tt("src_attention_mask", torch.long),
+                    tt("ocr_attention_mask", torch.long),
+                    tt("obj_attention_mask", torch.long),
+                ],
+                dim=1,
+            )
+            bias = ref.rel2Dbias(
+                emb, mask, tt("ocr_coordinates", torch.float32),
+                config.max_q_length, config.max_ocr_length,
+            )
+            ext = (1.0 - mask.to(torch.float32)) * torch.finfo(torch.float32).min
+            bias = bias + ext[:, None, None, :]
+            enc_out = ref.encoder(
+                attention_mask=mask, inputs_embeds=emb, position_bias=bias
+            ).last_hidden_state
+
+            bz = emb.shape[0]
+            ys = torch.full((bz, 1), tok.bos_id, dtype=torch.long)
+            for _ in range(max_len - 1):
+                out = ref.decode(ys, enc_out, mask == 0)  # bool: True = ignore
+                nxt = torch.argmax(ref.lm_head(out[:, -1]), dim=-1)
+                ys = torch.cat([ys, nxt.view(bz, 1)], dim=1)
+                if (ys == tok.eos_id).any(dim=1).sum() == bz:
+                    break
+        ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
+    assert len(ours) == 6
