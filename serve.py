@@ -1,0 +1,124 @@
+"""Online serving CLI: dynamic-batched VQA answering over stdin/stdout.
+
+The reference stops at one-shot ``predict`` jobs
+(`/root/reference/core/executor/base_executor.py:143-165`); this serves the
+same models online. Requests are JSON lines on stdin::
+
+    {"image_id": 3, "question": "tên cửa hàng là gì?"}        (optional "id")
+
+and answers stream back as JSON lines on stdout::
+
+    {"id": 0, "answer": "phúc long"}
+
+Concurrent requests are dynamically batched into one fixed-shape compiled
+decode (see `phoneme_vqa_tpu/serving/engine.py`); responses are written in
+completion order, tagged with the request "id" (or input line number).
+
+Usage:
+    python serve.py --config-file configs/latr.yaml [--ckpt best|last|none]
+                    [--batch-size 8] [--max-wait-ms 5] [--max-length 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+
+import jax
+
+# Honor JAX_PLATFORMS even when a sitecustomize force-selected a backend
+# (same shim as run.py): lets `JAX_PLATFORMS=cpu` drive the server off-TPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401  (fills registries)
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.serving import ServingEngine
+from phoneme_vqa_tpu.utils.logger import get_logger
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+log = get_logger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--ckpt", default="best", choices=["best", "last", "none"],
+                   help="checkpoint to serve ('none' = random init, for tests)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-length", type=int, default=None,
+                   help="decode length cap (default: config.max_predict_length)")
+    return p.parse_args()
+
+
+def build_engine(args):
+    config = get_config(args.config_file)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    if args.ckpt != "none":
+        ex._load_trained_checkpoint(args.ckpt)
+        ex._place_state()
+    if hasattr(ex, "_adapt_frames"):  # SaL family: OCR + object stores
+        ocr_df, obj_df = ex._adapt_frames()
+    else:
+        from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
+
+        ocr_df, obj_df = textlayout_ocr_adapt(config.ocr_path), None
+    max_len = args.max_length or int(config.get("max_predict_length", 20))
+    return ServingEngine(
+        ex, ocr_df, obj_df,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+        max_answer_length=max_len,
+    )
+
+
+def main():
+    args = parse_args()
+    engine = build_engine(args)
+    out_lock = threading.Lock()
+    pending = []
+    log.info("## SERVING (ctrl-d to drain and exit) ...")
+
+    def respond(req_id, fut):
+        try:
+            line = json.dumps({"id": req_id, "answer": fut.result()},
+                              ensure_ascii=False)
+        except Exception as e:
+            line = json.dumps({"id": req_id, "error": str(e)}, ensure_ascii=False)
+        with out_lock:
+            print(line, flush=True)
+
+    for i, raw in enumerate(sys.stdin):
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            req = json.loads(raw)
+            fut = engine.submit(req["image_id"], str(req["question"]))
+        except Exception as e:
+            respond(i, _failed(e))
+            continue
+        req_id = req.get("id", i)
+        fut.add_done_callback(lambda f, rid=req_id: respond(rid, f))
+        pending.append(fut)
+
+    for fut in pending:  # drain before exit
+        try:
+            fut.result()
+        except Exception:
+            pass
+    engine.stop()
+
+
+def _failed(e):
+    from concurrent.futures import Future
+
+    f = Future()
+    f.set_exception(e)
+    return f
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Serving engine: dynamic batching over the production decode path."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
+from phoneme_vqa_tpu.serving import ServingEngine
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    paths = make_latr_fixture(tmp)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp / "ck"), NUM_EPOCHS=1, SAVE=False, max_eval_length=10
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    return ex, ocr_df, config, paths
+
+
+def test_engine_matches_direct_infer(served):
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=120) for f in futs]
+    # direct production path on the same rows
+    want = ex.infer(ex.val_data, 4, 10)
+    assert got == want
+    assert len(got) == len(qa)
+
+
+def test_engine_partial_batch_flush_and_reuse(served):
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    row = next(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=8, max_wait_ms=1,
+                       max_answer_length=10) as eng:
+        # lone request: flushed by timeout despite batch_size 8
+        first = eng.answer(row.image_id, row.question, timeout=120)
+        # engine stays serviceable across batches
+        second = eng.answer(row.image_id, row.question, timeout=120)
+    assert first == second
+    assert isinstance(first, str)
+
+
+def test_engine_rejects_unknown_image(served):
+    ex, ocr_df, config, paths = served
+    with ServingEngine(ex, ocr_df, batch_size=2, max_wait_ms=1) as eng:
+        with pytest.raises(KeyError):
+            eng.submit("no-such-image", "câu hỏi?")
+        with pytest.raises(RuntimeError):
+            eng.stop() or eng.submit(next(iter(eng._known_ids)), "q")
+
+
+@pytest.mark.slow
+def test_serve_cli_round_trip(tmp_path):
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False, max_eval_length=10
+    )
+    qa = pd.read_csv(paths["val"])
+    lines = "".join(
+        json.dumps({"id": i, "image_id": r.image_id, "question": r.question})
+        + "\n"
+        for i, r in enumerate(qa.itertuples())
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "serve.py"),
+         "--config-file", yaml_path, "--ckpt", "none",
+         "--batch-size", "4", "--max-wait-ms", "5"],
+        input=lines, capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [json.loads(l) for l in r.stdout.strip().splitlines() if l.strip()]
+    assert {o["id"] for o in out} == set(range(len(qa)))
+    assert all("answer" in o for o in out), out
