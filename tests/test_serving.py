@@ -67,6 +67,27 @@ def test_engine_rejects_unknown_image(served):
 
 
 @pytest.mark.slow
+def test_engine_over_device_mesh_matches_single(served, tmp_path):
+    """Serving rides the executor's mesh sharding unchanged: a DP x TP
+    (4 x 2) engine answers identically to the single-device one."""
+    ex1, ocr_df, config, paths = served
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10, MESH={"data": 4, "model": 2},
+    )
+    mesh_config = get_config(yaml_path)
+    ex8 = EXECUTORS.get(mesh_config.EXECUTOR)(mesh_config, mode="eval")
+    ex8.state = ex8.state.replace(params=ex1.state.params)
+    ex8._place_state()
+    qa = pd.read_csv(paths["val"])
+    with ServingEngine(ex8, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=240) for f in futs]
+    assert got == ex1.infer(ex1.val_data, 4, 10)
+
+
+@pytest.mark.slow
 def test_serve_cli_round_trip(tmp_path):
     paths = make_latr_fixture(tmp_path)
     yaml_path = tiny_latr_yaml(
