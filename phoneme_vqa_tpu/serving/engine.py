@@ -70,6 +70,7 @@ class ServingEngine:
         batch_size: int = 8,
         max_wait_ms: float = 5.0,
         max_answer_length: int = 20,
+        warmup: bool = True,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -77,9 +78,16 @@ class ServingEngine:
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_answer_length = int(max_answer_length)
+        self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stopped = False
+        self._lock = threading.Lock()
+        if warmup:
+            # pay the XLA compile before accepting traffic, not on the first
+            # client request (compiles the fixed-shape generate executable)
+            ds = self._featurize([_Request(next(iter(self._known_ids)), "")])
+            self.executor.infer(ds, self.batch_size, self.max_answer_length)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -87,12 +95,20 @@ class ServingEngine:
 
     def submit(self, image_id, question: str) -> Future:
         """Enqueue a request; resolves to the answer string."""
-        if self._stopped:
-            raise RuntimeError("engine stopped")
+        if self._id_dtype.kind in "if":
+            try:
+                # coerce to the OCR store's key dtype (JSON clients send "3"
+                # or 3 for a store keyed by float 3.0)
+                image_id = self._id_dtype.type(image_id)
+            except (TypeError, ValueError):
+                pass  # leave as-is; membership check below rejects it
         if image_id not in self._known_ids:
             raise KeyError(f"unknown image_id {image_id!r} (not in OCR store)")
         req = _Request(image_id, question)
-        self._queue.put(req)
+        with self._lock:  # pairs with stop(): no enqueue after the sentinel
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+            self._queue.put(req)
         return req.future
 
     def answer(self, image_id, question: str, timeout: Optional[float] = None) -> str:
@@ -101,10 +117,12 @@ class ServingEngine:
 
     def stop(self):
         """Drain outstanding requests, then stop the worker."""
-        if not self._stopped:
+        with self._lock:
+            if self._stopped:
+                return
             self._stopped = True
             self._queue.put(None)
-            self._worker.join()
+        self._worker.join()
 
     def __enter__(self):
         return self
@@ -155,6 +173,13 @@ class ServingEngine:
             reqs = self._collect()
             if not reqs:
                 return
+            # claim the futures: a future cancelled while queued is dropped
+            # here, and a RUNNING future can no longer be cancelled — so the
+            # resolutions below cannot raise InvalidStateError and kill the
+            # worker thread
+            reqs = [r for r in reqs if r.future.set_running_or_notify_cancel()]
+            if not reqs:
+                continue
             try:
                 ds = self._featurize(reqs)
                 if len(ds) != len(reqs):
@@ -165,7 +190,7 @@ class ServingEngine:
                     ds, self.batch_size, self.max_answer_length
                 )
             except Exception as e:  # resolve the whole batch with the error
-                log.info(f"serving batch failed: {e!r}")
+                log.warning(f"serving batch of {len(reqs)} failed: {e!r}")
                 for r in reqs:
                     r.future.set_exception(e)
                 continue

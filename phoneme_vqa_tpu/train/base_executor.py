@@ -69,6 +69,11 @@ class BaseExecutor:
             )
             self._init_eval_predict_mode()
             self._build_model()
+        elif mode == "serve":
+            # online serving (serve.py): tokenizers + feature stores + model
+            # only — no QA CSVs read, no eval/predict dataset featurized
+            self._init_serve_mode()
+            self._build_model()
         else:
             raise ValueError(f"unknown mode {mode!r}")
         self._place_state()
@@ -90,6 +95,9 @@ class BaseExecutor:
         raise NotImplementedError
 
     def _init_eval_predict_mode(self):
+        raise NotImplementedError
+
+    def _init_serve_mode(self):
         raise NotImplementedError
 
     def _build_model(self):

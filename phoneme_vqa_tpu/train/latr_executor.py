@@ -99,6 +99,19 @@ class LaTrExecutor(BaseExecutor):
             self._prepare_decode_tokenizer(pred_df, pred_df)
             self.predict_data = self._make_dataset(pred_df, ocr_df)
 
+    def _init_serve_mode(self):
+        """Online-serving init (`serve.py`): tokenizers + adapted feature
+        stores only. No QA CSV is read — requests featurize per batch through
+        `_make_dataset` in the serving engine. BPE answer tokenizers load
+        their persisted vocab (the empty corpus is never trained on)."""
+        self._create_tokenizers()
+        empty = pd.DataFrame({"answer": pd.Series([], dtype=str)})
+        self._prepare_decode_tokenizer(empty, empty)
+        if hasattr(self, "_adapt_frames"):  # SaL family: OCR + object stores
+            self.serve_frames = self._adapt_frames()
+        else:
+            self.serve_frames = (textlayout_ocr_adapt(self.config.ocr_path), None)
+
     # -- model -----------------------------------------------------------------
 
     def _build_model(self):

@@ -55,16 +55,13 @@ def parse_args():
 
 def build_engine(args):
     config = get_config(args.config_file)
-    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    # serve mode: tokenizers + feature stores + model only — no QA CSVs
+    # read, no eval dataset featurized at startup
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
     if args.ckpt != "none":
         ex._load_trained_checkpoint(args.ckpt)
         ex._place_state()
-    if hasattr(ex, "_adapt_frames"):  # SaL family: OCR + object stores
-        ocr_df, obj_df = ex._adapt_frames()
-    else:
-        from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
-
-        ocr_df, obj_df = textlayout_ocr_adapt(config.ocr_path), None
+    ocr_df, obj_df = ex.serve_frames
     max_len = args.max_length or int(config.get("max_predict_length", 20))
     return ServingEngine(
         ex, ocr_df, obj_df,
@@ -78,7 +75,9 @@ def main():
     args = parse_args()
     engine = build_engine(args)
     out_lock = threading.Lock()
-    pending = []
+    # in-flight only: done futures discard themselves, so a long-lived
+    # server's memory stays flat no matter how many requests stream through
+    pending = set()
     log.info("## SERVING (ctrl-d to drain and exit) ...")
 
     def respond(req_id, fut):
@@ -94,17 +93,21 @@ def main():
         raw = raw.strip()
         if not raw:
             continue
+        req = None
         try:
             req = json.loads(raw)
             fut = engine.submit(req["image_id"], str(req["question"]))
         except Exception as e:
-            respond(i, _failed(e))
+            rid = req.get("id", i) if isinstance(req, dict) else i
+            respond(rid, _failed(e))
             continue
         req_id = req.get("id", i)
-        fut.add_done_callback(lambda f, rid=req_id: respond(rid, f))
-        pending.append(fut)
+        pending.add(fut)
+        fut.add_done_callback(
+            lambda f, rid=req_id: (respond(rid, f), pending.discard(f))
+        )
 
-    for fut in pending:  # drain before exit
+    for fut in list(pending):  # drain before exit
         try:
             fut.result()
         except Exception:

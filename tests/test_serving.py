@@ -66,6 +66,37 @@ def test_engine_rejects_unknown_image(served):
             eng.stop() or eng.submit(next(iter(eng._known_ids)), "q")
 
 
+def test_serve_mode_executor_and_id_coercion(served):
+    """mode='serve' builds tokenizers + feature stores without reading any
+    QA CSV; JSON-style string image ids coerce to the store's key dtype."""
+    ex_eval, ocr_df, config, paths = served
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    assert not hasattr(ex, "val_data")
+    s_ocr, s_obj = ex.serve_frames
+    assert s_obj is None and set(s_ocr["image_id"]) == set(ocr_df["image_id"])
+    qa = pd.read_csv(paths["val"])
+    row = next(qa.itertuples())
+    with ServingEngine(ex, s_ocr, batch_size=2, max_wait_ms=1,
+                       max_answer_length=10) as eng:
+        # image ids in the store are floats; a JSON client naturally sends
+        # the string or int form — both must resolve
+        got = eng.answer(str(row.image_id), row.question, timeout=120)
+    want = ex_eval.infer(ex_eval.val_data, 4, 10)[0]
+    assert got == want
+
+
+def test_cancelled_future_does_not_kill_worker(served):
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    row = next(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=2, max_wait_ms=50,
+                       max_answer_length=10, warmup=False) as eng:
+        f = eng.submit(row.image_id, row.question)
+        f.cancel()  # may or may not win the race with the worker claim
+        # either way the worker must survive and keep serving
+        assert isinstance(eng.answer(row.image_id, row.question, timeout=120), str)
+
+
 @pytest.mark.slow
 def test_engine_over_device_mesh_matches_single(served, tmp_path):
     """Serving rides the executor's mesh sharding unchanged: a DP x TP
