@@ -144,10 +144,16 @@ def main():
         if os.environ.get("BENCH_TRAIN_MU_DTYPE") == "bfloat16"
         else None
     )
-    tx = optax.adam(
-        epoch_decay_schedule(5e-5, 1000), b1=0.9, b2=0.98, eps=1e-9,
-        mu_dtype=mu_dtype,
-    )
+    if os.environ.get("BENCH_TRAIN_OPT") == "adafactor":
+        tx = optax.adafactor(
+            epoch_decay_schedule(5e-5, 1000),
+            multiply_by_parameter_scale=False, momentum=None,
+        )
+    else:
+        tx = optax.adam(
+            epoch_decay_schedule(5e-5, 1000), b1=0.9, b2=0.98, eps=1e-9,
+            mu_dtype=mu_dtype,
+        )
     opt_state = jax.device_put(tx.init(params))
     batch = jax.device_put(batch)
 

@@ -19,7 +19,12 @@ from ..data.loader import num_batches
 from ..utils.logger import get_logger
 from ..utils.registry import EXECUTORS, TOKENIZERS
 from .latr_executor import LaTrExecutor
-from .optim import build_optimizer, linear_warmup_schedule, mu_dtype_from_config
+from .optim import (
+    build_optimizer,
+    linear_warmup_schedule,
+    mu_dtype_from_config,
+    optimizer_kind_from_config,
+)
 from .prestu_executor import PreSTUExecutor
 from .sal_executor import SaLExecutor
 from .state import TrainState
@@ -103,7 +108,8 @@ class _CustomizedMixin:
         c = self.config
         schedule = linear_warmup_schedule(c.LR, c.get("warmup_step", 1000))
         self.tx = build_optimizer(
-            schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c)
+            schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
+            kind=optimizer_kind_from_config(c),
         )
         self.state = TrainState.create(self.params, self.tx)
         self._maybe_resume()

@@ -20,7 +20,12 @@ from ..utils.logger import get_logger
 from ..utils.registry import EXECUTORS, MODEL_CONFIGS, MODELS
 from .base_executor import BaseExecutor
 from .checkpoint import CheckpointManager
-from .optim import build_optimizer, epoch_decay_schedule, mu_dtype_from_config
+from .optim import (
+    build_optimizer,
+    epoch_decay_schedule,
+    mu_dtype_from_config,
+    optimizer_kind_from_config,
+)
 from .state import TrainState
 
 log = get_logger(__name__)
@@ -159,7 +164,8 @@ class LaTrExecutor(BaseExecutor):
         )
         schedule = epoch_decay_schedule(c.LR, steps_per_epoch)
         self.tx = build_optimizer(
-            schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c)
+            schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
+            kind=optimizer_kind_from_config(c),
         )
         self.state = TrainState.create(self.params, self.tx)
         self._maybe_resume()

@@ -47,16 +47,33 @@ def build_optimizer(
     eps: float = 1e-9,
     freeze_predicate: Optional[Callable[[tuple], bool]] = None,
     mu_dtype=None,
+    kind: str = "adam",
 ):
-    """Adam with schedule; optionally zero updates for frozen subtrees
+    """Optimizer with schedule; optionally zero updates for frozen subtrees
     (optax.masked equivalent of the reference's requires_grad freeze).
 
-    ``mu_dtype`` (YAML ``OPT_MU_DTYPE: bfloat16``) stores the first moment in
-    a reduced dtype: -25 % optimizer memory and HBM traffic per step. The
-    second moment stays f32 (its rsqrt needs the dynamic range)."""
-    tx = optax.adam(
-        lr_schedule, b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
-    )
+    ``kind`` (YAML ``OPTIMIZER``):
+    * ``adam`` (default) — the reference's optimizer
+      (`/root/reference/core/executor/base_executor.py:167`). ``mu_dtype``
+      (YAML ``OPT_MU_DTYPE: bfloat16``) stores the first moment in a reduced
+      dtype: -25 % optimizer memory and HBM traffic per step. The second
+      moment stays f32 (its rsqrt needs the dynamic range).
+    * ``adafactor`` — the T5-native memory-light optimizer: factored second
+      moments (row+col vectors instead of a full matrix per weight) and no
+      first moment, cutting the optimizer state from 2x params to ~zero and
+      with it the per-step optimizer HBM traffic that bounds the train step
+      (docs/DESIGN.md). ``multiply_by_parameter_scale=False`` so the YAML
+      ``LR`` means what it says (betas/eps are adam-only and ignored)."""
+    if kind == "adafactor":
+        tx = optax.adafactor(
+            lr_schedule, multiply_by_parameter_scale=False, momentum=None
+        )
+    elif kind == "adam":
+        tx = optax.adam(
+            lr_schedule, b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
+        )
+    else:
+        raise ValueError(f"unknown OPTIMIZER {kind!r} (adam | adafactor)")
     if freeze_predicate is None:
         return tx
 
@@ -79,6 +96,11 @@ def mu_dtype_from_config(config):
     """YAML ``OPT_MU_DTYPE`` ('bfloat16'/'float32') -> dtype or None."""
     name = config.get("OPT_MU_DTYPE", None)
     return None if name in (None, "", "float32") else jnp.dtype(name)
+
+
+def optimizer_kind_from_config(config) -> str:
+    """YAML ``OPTIMIZER`` ('adam' | 'adafactor'); default adam."""
+    return str(config.get("OPTIMIZER", "adam") or "adam").lower()
 
 
 def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int):

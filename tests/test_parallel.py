@@ -176,10 +176,14 @@ def test_executor_train_step_mesh_equivalence(tmp_path):
     flat_1 = jax.tree_util.tree_leaves_with_path(params_1)
     flat_dp = jax.tree.leaves(params_dp)
     flat_tp = jax.tree.leaves(params_tp)
+    # tolerance: the sharded runs psum partial gradients in a different
+    # order than the serial sum, and adam's rsqrt(nu) amplifies those
+    # f32 reduction-order ulps where nu is tiny (observed up to ~5e-6 abs
+    # on single elements) — identical math, different summation order
     for (path, a), b, c in zip(flat_1, flat_dp, flat_tp):
         name = jax.tree_util.keystr(path)
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=f"DP {name}")
-        np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6, err_msg=f"TP {name}")
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5, err_msg=f"DP {name}")
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=2e-5, err_msg=f"TP {name}")
 
     # TP actually sharded the big matmuls over the model axis
     shardings = tree_shardings(ex_tp.mesh, ex_tp.state.params)
