@@ -119,6 +119,32 @@ def test_engine_over_device_mesh_matches_single(served, tmp_path):
 
 
 @pytest.mark.slow
+def test_sal_family_serves_with_object_store(tmp_path):
+    """The engine is family-generic: a SaL serve-mode executor (OCR + object
+    feature stores, 2D bias encoder) answers identically to its eval infer."""
+    from .fixtures import make_sal_fixture, tiny_sal_yaml
+
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df, obj_df = ex.serve_frames
+    assert obj_df is not None
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval.state = ex_eval.state.replace(params=ex.state.params)
+    ex_eval._place_state()
+    qa = pd.read_csv(paths["val"])
+    with ServingEngine(ex, ocr_df, obj_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=240) for f in futs]
+    assert got == ex_eval.infer(ex_eval.val_data, 4, 10)
+
+
+@pytest.mark.slow
 def test_serve_cli_round_trip(tmp_path):
     paths = make_latr_fixture(tmp_path)
     yaml_path = tiny_latr_yaml(
