@@ -39,12 +39,13 @@ log = get_logger(__name__)
 
 
 class _Request:
-    __slots__ = ("image_id", "question", "future")
+    __slots__ = ("image_id", "question", "future", "t_submit")
 
     def __init__(self, image_id, question):
         self.image_id = image_id
         self.question = question
         self.future: Future = Future()
+        self.t_submit = time.monotonic()
 
 
 class ServingEngine:
@@ -60,6 +61,9 @@ class ServingEngine:
     batch_size: the fixed serve batch shape (compiled once).
     max_wait_ms: max time a lone request waits for batch-mates.
     max_answer_length: decode length cap (compiled into the generate fn).
+    warmup: compile the executable at construction, not on first request.
+    max_queue: >0 bounds pending requests; submit raises when full
+        (backpressure instead of unbounded accumulation under overload).
     """
 
     def __init__(
@@ -71,6 +75,7 @@ class ServingEngine:
         max_wait_ms: float = 5.0,
         max_answer_length: int = 20,
         warmup: bool = True,
+        max_queue: int = 0,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -80,9 +85,17 @@ class ServingEngine:
         self.max_answer_length = int(max_answer_length)
         self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # max_queue > 0 bounds admission: submit raises instead of letting an
+        # overloaded server accumulate unbounded work (stop()'s sentinel uses
+        # a blocking put, so the bound never deadlocks shutdown)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self._stopped = False
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._served = 0
+        self._failed = 0
+        self._batches = 0
+        self._latencies_ms: list = []
         if warmup:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable)
@@ -108,12 +121,31 @@ class ServingEngine:
         with self._lock:  # pairs with stop(): no enqueue after the sentinel
             if self._stopped:
                 raise RuntimeError("engine stopped")
-            self._queue.put(req)
+            try:
+                self._queue.put_nowait(req)
+            except queue.Full:
+                raise RuntimeError(
+                    f"serving queue full ({self._queue.maxsize} pending)"
+                ) from None
         return req.future
 
     def answer(self, image_id, question: str, timeout: Optional[float] = None) -> str:
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(image_id, question).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        """Served/failed counts, batch count, and request-latency percentiles
+        (submit -> resolution, ms) over the last 10k requests."""
+        with self._stats_lock:
+            lats = sorted(self._latencies_ms)
+            pct = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] if lats else None
+            return {
+                "served": self._served,
+                "failed": self._failed,
+                "batches": self._batches,
+                "p50_ms": pct(0.50),
+                "p95_ms": pct(0.95),
+            }
 
     def stop(self):
         """Drain outstanding requests, then stop the worker."""
@@ -193,6 +225,17 @@ class ServingEngine:
                 log.warning(f"serving batch of {len(reqs)} failed: {e!r}")
                 for r in reqs:
                     r.future.set_exception(e)
+                with self._stats_lock:
+                    self._failed += len(reqs)
+                    self._batches += 1
                 continue
+            now = time.monotonic()
             for r, a in zip(reqs, answers):
                 r.future.set_result(a)
+            with self._stats_lock:
+                self._served += len(reqs)
+                self._batches += 1
+                self._latencies_ms.extend(
+                    (now - r.t_submit) * 1e3 for r in reqs
+                )
+                del self._latencies_ms[:-10000]

@@ -113,6 +113,7 @@ def main():
         except Exception:
             pass
     engine.stop()
+    log.info(f"## serving stats: {engine.stats()}")
 
 
 def _failed(e):

@@ -112,3 +112,26 @@ def test_build_optimizer_rejects_unknown_kind():
 
     with pytest.raises(ValueError):
         build_optimizer(lambda s: 1e-3, kind="sgd")
+
+
+def test_adafactor_executor_train_and_resume(tmp_path):
+    """OPTIMIZER: adafactor through the real executor: trains, checkpoints
+    its factored opt state, and auto-resumes with exact param values."""
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, OPTIMIZER="adafactor"
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ex.run()
+    resumed = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    assert int(resumed.state.epoch) == 1
+    a = np.asarray(jax.tree.leaves(ex.state.params)[0])
+    b = np.asarray(jax.tree.leaves(resumed.state.params)[0])
+    np.testing.assert_array_equal(a, b)

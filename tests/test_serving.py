@@ -118,6 +118,34 @@ def test_engine_over_device_mesh_matches_single(served, tmp_path):
     assert got == ex1.infer(ex1.val_data, 4, 10)
 
 
+def test_stats_and_backpressure():
+    """Stub executor: stats track served requests and latency percentiles;
+    max_queue bounds admission with a loud error instead of unbounded
+    accumulation."""
+    import time
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            time.sleep(0.15)
+            return ["ans"] * len(ds)
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=2, max_wait_ms=1,
+                       warmup=False, max_queue=1) as eng:
+        f1 = eng.submit(1.0, "q1")  # worker claims it, sleeps 150 ms
+        time.sleep(0.05)
+        f2 = eng.submit(2.0, "q2")  # fills the 1-slot queue
+        with pytest.raises(RuntimeError, match="queue full"):
+            eng.submit(1.0, "q3")
+        assert f1.result(timeout=10) == "ans" and f2.result(timeout=10) == "ans"
+    s = eng.stats()
+    assert s["served"] == 2 and s["failed"] == 0 and s["batches"] == 2
+    assert s["p50_ms"] is not None and s["p95_ms"] >= s["p50_ms"]
+
+
 @pytest.mark.slow
 def test_sal_family_serves_with_object_store(tmp_path):
     """The engine is family-generic: a SaL serve-mode executor (OCR + object
