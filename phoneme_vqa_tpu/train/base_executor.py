@@ -281,9 +281,21 @@ class BaseExecutor:
 
     def _maybe_resume(self):
         """Auto-resume full training state from last_ckp if present
-        (reference: base_executor.py:174-184)."""
-        if self.ckpt.exists("last"):
-            restored = self.ckpt.restore("last", self._ckpt_tree())
+        (reference: base_executor.py:174-184). A corrupt/unreadable last_ckp
+        (e.g. disk fault, partial copy) degrades to best_ckp and then to a
+        fresh start with a loud warning, instead of permanently wedging an
+        auto-restarted training job at startup."""
+        for name in ("last", "best"):
+            if not self.ckpt.exists(name):
+                continue
+            try:
+                restored = self.ckpt.restore(name, self._ckpt_tree())
+            except Exception as e:
+                log.warning(
+                    f"(!) {name}_ckp exists but is unreadable ({e!r}) — "
+                    "falling back to an older checkpoint / fresh start"
+                )
+                continue
             self.state = self.state.replace(
                 params=restored["params"],
                 opt_state=restored["opt_state"],
@@ -291,7 +303,8 @@ class BaseExecutor:
                 epoch=int(restored["epoch"]),
             )
             self.best_score = float(restored["best_score"])
-            log.info(f"###Resumed from last_ckp (epoch {int(self.state.epoch)})")
+            log.info(f"###Resumed from {name}_ckp (epoch {int(self.state.epoch)})")
+            return
 
     def _load_trained_checkpoint(self, loadtype: str):
         """Eval/predict: restore params only (no optimizer template needed)."""

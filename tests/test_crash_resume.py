@@ -11,6 +11,8 @@ preempted TPU worker experiences it — a fresh process, the same
 
 import os
 import signal
+
+import jax
 import subprocess
 import sys
 import time
@@ -74,3 +76,41 @@ def test_sigkill_mid_train_then_resume_completes(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
+
+
+def test_corrupt_checkpoint_degrades_gracefully(tmp_path):
+    """Fault injection: an unreadable last_ckp must not wedge auto-resume —
+    training falls back to best_ckp, and with both corrupt starts fresh
+    (with loud warnings), instead of crashing at startup forever."""
+    import numpy as np
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1)
+    config = get_config(yaml_path)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+
+    def corrupt(name):
+        root = os.path.join(save, name)
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                with open(os.path.join(dirpath, f), "wb") as fh:
+                    fh.write(b"garbage")
+
+    corrupt("last_ckp")
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    assert int(ex.state.epoch) == 1  # resumed from best_ckp
+
+    corrupt("best_ckp")
+    ex2 = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    assert int(ex2.state.epoch) == 0  # fresh start, not a crash
+    # fresh init params, not garbage
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(ex2.state.params)[0])
+    ).all()
