@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-length", type=int, default=None,
                    help="decode length cap (default: config.max_predict_length)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve HTTP on PORT instead of stdin/stdout "
+                        "(POST /answer, GET /stats, GET /healthz)")
+    p.add_argument("--max-queue", type=int, default=0,
+                   help=">0 bounds pending requests (backpressure)")
     return p.parse_args()
 
 
@@ -68,12 +73,71 @@ def build_engine(args):
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
         max_answer_length=max_len,
+        max_queue=args.max_queue,
     )
+
+
+def make_http_server(engine, port: int):
+    """HTTP front-end over the engine (stdlib, thread-per-request — each
+    handler blocks on its future while the engine batches across them):
+    POST /answer {"image_id", "question"} -> {"answer"}; GET /stats; GET
+    /healthz."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # route access logs to our logger
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, engine.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/answer":
+                return self._send(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                ans = engine.answer(
+                    req["image_id"], str(req["question"]), timeout=120
+                )
+                self._send(200, {"answer": ans})
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+            except RuntimeError as e:  # queue full / engine stopped
+                self._send(503, {"error": str(e)})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+    return ThreadingHTTPServer(("", port), Handler)
 
 
 def main():
     args = parse_args()
     engine = build_engine(args)
+    if args.http is not None:
+        srv = make_http_server(engine, args.http)
+        log.info(
+            f"## HTTP SERVING on :{srv.server_port} "
+            "(POST /answer, GET /stats, GET /healthz)"
+        )
+        try:
+            srv.serve_forever()
+        finally:
+            engine.stop()
+        return
     out_lock = threading.Lock()
     # in-flight only: done futures discard themselves, so a long-lived
     # server's memory stays flat no matter how many requests stream through

@@ -172,6 +172,68 @@ def test_sal_family_serves_with_object_store(tmp_path):
     assert got == ex_eval.infer(ex_eval.val_data, 4, 10)
 
 
+def test_http_server_round_trip(served):
+    """HTTP front-end: POST /answer batches through the engine; /stats and
+    /healthz respond; unknown images 404; bad JSON 400."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import serve as serve_mod
+
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    rows = list(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        srv = serve_mod.make_http_server(eng, 0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_port}"
+        try:
+            post = lambda obj: json.loads(
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        base + "/answer", json.dumps(obj).encode(),
+                        {"Content-Type": "application/json"},
+                    ),
+                    timeout=120,
+                ).read()
+            )
+            # concurrent posts batch through the engine
+            results = [None] * len(rows)
+
+            def worker(i, r):
+                results[i] = post({"image_id": r.image_id, "question": r.question})
+
+            threads = [
+                threading.Thread(target=worker, args=(i, r))
+                for i, r in enumerate(rows)
+            ]
+            [x.start() for x in threads]
+            [x.join(timeout=240) for x in threads]
+            want = ex.infer(ex.val_data, 4, 10)
+            assert [r["answer"] for r in results] == want
+
+            health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+            assert health == {"ok": True}
+            stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+            assert stats["served"] >= len(rows)
+
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post({"image_id": "no-such", "question": "q"})
+            assert ei.value.code == 404
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    urllib.request.Request(base + "/answer", b"not json"),
+                    timeout=30,
+                )
+            assert ei.value.code == 400
+        finally:
+            srv.shutdown()
+
+
 @pytest.mark.slow
 def test_serve_cli_round_trip(tmp_path):
     paths = make_latr_fixture(tmp_path)
