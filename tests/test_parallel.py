@@ -133,7 +133,7 @@ def test_sharded_sal_2d_bias_matches_single():
 # ---------------------------------------------------------------------------
 
 
-def _executor_one_step(tmp_path, subdir, mesh_cfg):
+def _executor_one_step(tmp_path, subdir, mesh_cfg, **overrides):
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.loader import batch_iterator
@@ -144,7 +144,8 @@ def _executor_one_step(tmp_path, subdir, mesh_cfg):
     root.mkdir()
     paths = make_latr_fixture(root)
     yaml_path = tiny_latr_yaml(
-        paths, str(root / "ck"), NUM_EPOCHS=1, SAVE=False, MESH=mesh_cfg
+        paths, str(root / "ck"), NUM_EPOCHS=1, SAVE=False, MESH=mesh_cfg,
+        **overrides,
     )
     config = get_config(yaml_path)
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
@@ -261,3 +262,18 @@ def test_zero1_optimizer_sharding_equivalence(tmp_path):
         )
     )
     assert n_sharded >= 40, f"only {n_sharded} ZeRO-sharded opt leaves"
+
+
+@pytest.mark.slow
+def test_adafactor_mesh_equivalence(tmp_path):
+    """OPTIMIZER: adafactor composes with the mesh: the factored opt state
+    places on a DP x TP mesh and the step matches single-device exactly."""
+    loss_1, params_1, _ = _executor_one_step(
+        tmp_path, "ada1", {"data": 1, "model": 1}, OPTIMIZER="adafactor"
+    )
+    loss_m, params_m, _ = _executor_one_step(
+        tmp_path, "ada8", {"data": 4, "model": 2}, OPTIMIZER="adafactor"
+    )
+    assert np.isclose(loss_1, loss_m, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_m)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
