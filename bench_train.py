@@ -139,21 +139,19 @@ def main():
             abstract,
         )
     )
+    from phoneme_vqa_tpu.train.optim import build_optimizer
+
+    # the production constructor, so the benchmark can't drift from what
+    # the executors actually run
     mu_dtype = (
         jnp.bfloat16
         if os.environ.get("BENCH_TRAIN_MU_DTYPE") == "bfloat16"
         else None
     )
-    if os.environ.get("BENCH_TRAIN_OPT") == "adafactor":
-        tx = optax.adafactor(
-            epoch_decay_schedule(5e-5, 1000),
-            multiply_by_parameter_scale=False, momentum=None,
-        )
-    else:
-        tx = optax.adam(
-            epoch_decay_schedule(5e-5, 1000), b1=0.9, b2=0.98, eps=1e-9,
-            mu_dtype=mu_dtype,
-        )
+    tx = build_optimizer(
+        epoch_decay_schedule(5e-5, 1000), betas=(0.9, 0.98), eps=1e-9,
+        mu_dtype=mu_dtype, kind=os.environ.get("BENCH_TRAIN_OPT", "adam"),
+    )
     opt_state = jax.device_put(tx.init(params))
     batch = jax.device_put(batch)
 

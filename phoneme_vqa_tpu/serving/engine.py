@@ -85,6 +85,17 @@ class ServingEngine:
         self.max_answer_length = int(max_answer_length)
         self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
+        if obj_df is not None:
+            # SaL family: featurization inner-joins BOTH stores — admit only
+            # images present in each, or one bad request would fail its
+            # whole batch at the dropped-rows check
+            self._known_ids &= set(obj_df["image_id"])
+        if not self._known_ids:
+            raise ValueError(
+                "feature store is empty (no image ids" +
+                (" present in both OCR and object stores)" if obj_df is not None
+                 else " in the OCR store)")
+            )
         # max_queue > 0 bounds admission: submit raises instead of letting an
         # overloaded server accumulate unbounded work (stop()'s sentinel uses
         # a blocking put, so the bound never deadlocks shutdown)
@@ -110,9 +121,13 @@ class ServingEngine:
         """Enqueue a request; resolves to the answer string."""
         if self._id_dtype.kind in "if":
             try:
-                # coerce to the OCR store's key dtype (JSON clients send "3"
-                # or 3 for a store keyed by float 3.0)
-                image_id = self._id_dtype.type(image_id)
+                # coerce to the store's key dtype (JSON clients send "3" or 3
+                # for a store keyed by float 3.0) — but only when the value
+                # survives the round trip (int64(3.7) -> 3 would silently
+                # answer for the wrong image)
+                coerced = self._id_dtype.type(image_id)
+                if float(coerced) == float(image_id):
+                    image_id = coerced
             except (TypeError, ValueError):
                 pass  # leave as-is; membership check below rejects it
         if image_id not in self._known_ids:

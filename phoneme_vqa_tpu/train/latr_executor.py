@@ -7,6 +7,7 @@ dataset/featurization and model batch keys.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -107,9 +108,19 @@ class LaTrExecutor(BaseExecutor):
     def _init_serve_mode(self):
         """Online-serving init (`serve.py`): tokenizers + adapted feature
         stores only. No QA CSV is read — requests featurize per batch through
-        `_make_dataset` in the serving engine. BPE answer tokenizers load
-        their persisted vocab (the empty corpus is never trained on)."""
+        `_make_dataset` in the serving engine. BPE answer tokenizers must
+        load their persisted vocab — serving has no answer corpus to train
+        on, so a missing vocab file is a hard error (training on the empty
+        corpus would both serve garbage and persist a degenerate vocab that
+        poisons the next training run)."""
         self._create_tokenizers()
+        if "BPE" in str(self.config.get("DecodeTokenizer", "")):
+            vocab_path = self.config.get("vocab_save_path", "bpevocab.json")
+            if not os.path.isfile(vocab_path):
+                raise FileNotFoundError(
+                    f"serve mode requires the trained BPE vocab at "
+                    f"{vocab_path!r} (run --mode train first)"
+                )
         empty = pd.DataFrame({"answer": pd.Series([], dtype=str)})
         self._prepare_decode_tokenizer(empty, empty)
         if hasattr(self, "_adapt_frames"):  # SaL family: OCR + object stores

@@ -107,19 +107,30 @@ def make_http_server(engine, port: int):
         def do_POST(self):
             if self.path != "/answer":
                 return self._send(404, {"error": "not found"})
+            from concurrent.futures import TimeoutError as FutureTimeout
+
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
+            except Exception as e:
+                return self._send(400, {"error": f"bad request body: {e}"})
+            if not isinstance(req, dict) or "image_id" not in req or "question" not in req:
+                return self._send(
+                    400, {"error": "image_id and question fields required"}
+                )
+            try:
                 ans = engine.answer(
                     req["image_id"], str(req["question"]), timeout=120
                 )
                 self._send(200, {"answer": ans})
-            except KeyError as e:
+            except KeyError as e:  # unknown image
                 self._send(404, {"error": str(e)})
             except RuntimeError as e:  # queue full / engine stopped
                 self._send(503, {"error": str(e)})
+            except FutureTimeout:
+                self._send(504, {"error": "decode timed out"})
             except Exception as e:
-                self._send(400, {"error": str(e)})
+                self._send(500, {"error": str(e)})
 
     return ThreadingHTTPServer(("", port), Handler)
 

@@ -15,8 +15,6 @@ empty.
 """
 
 import os
-import sys
-import tempfile
 
 import pytest
 

@@ -118,6 +118,56 @@ def test_engine_over_device_mesh_matches_single(served, tmp_path):
     assert got == ex1.infer(ex1.val_data, 4, 10)
 
 
+def test_admission_edge_cases():
+    """Int-store truncation is rejected (int64(3.7) must not answer for
+    image 3); empty feature stores fail loudly at construction; SaL admission
+    intersects OCR and object stores."""
+    import numpy as np
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr, obj=None):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            return ["ans"] * len(ds)
+
+    int_store = pd.DataFrame({"image_id": np.array([1, 2], dtype=np.int64)})
+    with ServingEngine(_Stub(), int_store, batch_size=1, max_wait_ms=1,
+                       warmup=False) as eng:
+        with pytest.raises(KeyError):
+            eng.submit(1.7, "q")  # would truncate to 1 — must reject
+        assert eng.answer("2", "q", timeout=30) == "ans"  # lossless coercion
+
+    with pytest.raises(ValueError, match="empty"):
+        ServingEngine(_Stub(), pd.DataFrame({"image_id": []}), warmup=False)
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    obj = pd.DataFrame({"image_id": [2.0, 3.0]})
+    with ServingEngine(_Stub(), ocr, obj, batch_size=1, max_wait_ms=1,
+                       warmup=False) as eng:
+        with pytest.raises(KeyError):
+            eng.submit(1.0, "q")  # in OCR but not in the object store
+        assert eng.answer(2.0, "q", timeout=30) == "ans"
+
+
+def test_serve_mode_requires_trained_bpe_vocab(tmp_path):
+    """BPE serving must load the persisted vocab — a missing vocab file is a
+    hard error, never a silent empty-corpus training run."""
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="BPE_Tokenizer", num_decoder_layers=2, n_head=4,
+        vocab_save_path=str(tmp_path / "bpevocab.json"),
+    )
+    config = get_config(yaml_path)
+    with pytest.raises(FileNotFoundError, match="BPE vocab"):
+        EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+
+
 def test_stats_and_backpressure():
     """Stub executor: stats track served requests and latency percentiles;
     max_queue bounds admission with a loud error instead of unbounded
@@ -229,6 +279,9 @@ def test_http_server_round_trip(served):
                     urllib.request.Request(base + "/answer", b"not json"),
                     timeout=30,
                 )
+            assert ei.value.code == 400
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post({"question": "missing image_id"})
             assert ei.value.code == 400
         finally:
             srv.shutdown()
