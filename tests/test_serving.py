@@ -168,6 +168,40 @@ def test_serve_mode_requires_trained_bpe_vocab(tmp_path):
         EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
 
 
+@pytest.mark.slow
+def test_customized_bpe_serves_after_training(tmp_path):
+    """The full production arc for a Customized family: train (which builds
+    and persists the BPE answer vocab + best checkpoint), then serve-mode
+    startup loads both and the engine answers like eval infer."""
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=True,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="BPE_Tokenizer", num_decoder_layers=2, n_head=4,
+        vocab_save_path=str(tmp_path / "bpevocab.json"), max_eval_length=10,
+    )
+    config = get_config(yaml_path)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ex._load_trained_checkpoint("best")
+    ex._place_state()
+    ocr_df, _ = ex.serve_frames
+    qa = pd.read_csv(paths["val"])
+    row = next(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=5,
+                       max_answer_length=10) as eng:
+        got = eng.answer(row.image_id, row.question, timeout=240)
+
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval._load_trained_checkpoint("best")
+    ex_eval._place_state()
+    assert got == ex_eval.infer(ex_eval.val_data, 4, 10)[0]
+
+
 def test_stats_and_backpressure():
     """Stub executor: stats track served requests and latency percentiles;
     max_queue bounds admission with a loud error instead of unbounded
