@@ -203,6 +203,35 @@ def test_customized_bpe_serves_after_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_beam_search_serves(tmp_path):
+    """Beam decode (isgreedy: false, num_beam: 2) rides through the engine
+    unchanged for the custom-decoder families."""
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        isgreedy=False, num_beam=2, max_eval_length=10, max_a_length=16,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df, _ = ex.serve_frames
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval.state = ex_eval.state.replace(params=ex.state.params)
+    ex_eval._place_state()
+    qa = pd.read_csv(paths["val"])
+    rows = list(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in rows]
+        got = [f.result(timeout=240) for f in futs]
+    assert got == ex_eval.infer(ex_eval.val_data, 4, 10)
+
+
+@pytest.mark.slow
 def test_phoneme_sal_serves(tmp_path):
     """Phoneme-family serving: serve mode builds the flat phoneme tokenizer
     without any corpus, and engine answers (compose_word detokenized) match
