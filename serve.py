@@ -139,7 +139,15 @@ def main():
     args = parse_args()
     engine = build_engine(args)
     if args.http is not None:
+        import signal
+
         srv = make_http_server(engine, args.http)
+        # SIGTERM/SIGINT: stop accepting, drain in-flight batches, exit 0 —
+        # the shutdown a process manager expects
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda *_: threading.Thread(
+                target=srv.shutdown, daemon=True
+            ).start())
         log.info(
             f"## HTTP SERVING on :{srv.server_port} "
             "(POST /answer, GET /stats, GET /healthz)"
@@ -148,6 +156,7 @@ def main():
             srv.serve_forever()
         finally:
             engine.stop()
+            log.info(f"## serving stats: {engine.stats()}")
         return
     out_lock = threading.Lock()
     # in-flight only: done futures discard themselves, so a long-lived

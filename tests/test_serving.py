@@ -232,6 +232,48 @@ def test_beam_search_serves(tmp_path):
 
 
 @pytest.mark.slow
+def test_phoneme_latr_triple_serves(tmp_path):
+    """The flagship triple-stream phoneme decode serves: structured tokenizer
+    built from vocab/annotations in serve mode, (onset, rhyme, tone) greedy
+    through the engine, compose_word detokenization, answers == eval infer."""
+    import json as _json
+
+    from .fixtures import ANSWERS, QUESTIONS, make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    ann = {
+        "annotations": [
+            {"question": q, "answers": [a]} for q, a in zip(QUESTIONS, ANSWERS)
+        ]
+    }
+    ann_path = str(tmp_path / "annotations.json")
+    with open(ann_path, "w", encoding="utf-8") as f:
+        _json.dump(ann, f, ensure_ascii=False)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="PhonemeLaTr_Executor", MODEL_CLASS="PhonemeLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        vocab_path=str(tmp_path / "phoneme_vocab.json"),
+        annotation_paths=[ann_path], num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, max_a_length=16, isgreedy=True, num_beam=1,
+        max_eval_length=10,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df, _ = ex.serve_frames
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval.state = ex_eval.state.replace(params=ex.state.params)
+    ex_eval._place_state()
+    qa = pd.read_csv(paths["val"])
+    rows = list(qa.itertuples())
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in rows]
+        got = [f.result(timeout=240) for f in futs]
+    assert got == ex_eval.infer(ex_eval.val_data, 4, 10)
+
+
+@pytest.mark.slow
 def test_phoneme_sal_serves(tmp_path):
     """Phoneme-family serving: serve mode builds the flat phoneme tokenizer
     without any corpus, and engine answers (compose_word detokenized) match
@@ -377,6 +419,51 @@ def test_http_server_round_trip(served):
             assert ei.value.code == 400
         finally:
             srv.shutdown()
+
+
+@pytest.mark.slow
+def test_http_sigterm_graceful_shutdown(tmp_path):
+    """SIGTERM drains and exits 0 — the shutdown a process manager expects."""
+    import signal
+    import socket
+    import subprocess
+    import time
+    import urllib.request
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False, max_eval_length=10
+    )
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "serve.py"),
+         "--config-file", yaml_path, "--ckpt", "none", "--http", str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                r = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                )
+                assert json.loads(r.read()) == {"ok": True}
+                break
+            except Exception:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("server never became healthy")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+        assert rc == 0, proc.stderr.read()[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
 
 
 @pytest.mark.slow
