@@ -304,3 +304,167 @@ def import_latr_weights(
     if strict:
         report.raise_if_failed("LaTr weights")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-checkpoint import (migration path from hieunghia-pat/phoneme-VQA)
+# ---------------------------------------------------------------------------
+
+def import_torch_decoder_layers(
+    dec_params: dict, sd: Dict[str, np.ndarray], prefix: str,
+    report: ImportReport,
+) -> None:
+    """torch ``nn.TransformerDecoder`` layer state dict -> our CustomDecoder
+    layer params (packed in_proj qkv split three ways, post-LN norms).
+    ``prefix`` addresses the layer list, e.g. ``decoder.decoder.layers``."""
+    i = 0
+    while f"{prefix}.{i}.self_attn.in_proj_weight" in sd:
+        dst = dec_params.get(f"layer_{i}")
+        if dst is None:
+            report.failed.append(
+                (f"{prefix}.{i}", f"our decoder has no layer_{i}")
+            )
+            i += 1
+            continue
+        d_model = sd[f"{prefix}.{i}.self_attn.in_proj_weight"].shape[1]
+        for src, name in (("self_attn", "self_attn"), ("multihead_attn", "cross_attn")):
+            w = sd[f"{prefix}.{i}.{src}.in_proj_weight"]
+            b = sd[f"{prefix}.{i}.{src}.in_proj_bias"]
+            for j, proj in enumerate(("q", "k", "v")):
+                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
+                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
+            dst[name]["out"]["kernel"] = sd[f"{prefix}.{i}.{src}.out_proj.weight"].T
+            dst[name]["out"]["bias"] = sd[f"{prefix}.{i}.{src}.out_proj.bias"]
+            report.mapped += [f"{prefix}.{i}.{src}.*"]
+        dst["fc1"]["kernel"] = sd[f"{prefix}.{i}.linear1.weight"].T
+        dst["fc1"]["bias"] = sd[f"{prefix}.{i}.linear1.bias"]
+        dst["fc2"]["kernel"] = sd[f"{prefix}.{i}.linear2.weight"].T
+        dst["fc2"]["bias"] = sd[f"{prefix}.{i}.linear2.bias"]
+        for k, ln in (("ln1", "norm1"), ("ln2", "norm2"), ("ln3", "norm3")):
+            dst[k]["scale"] = sd[f"{prefix}.{i}.{ln}.weight"]
+            dst[k]["bias"] = sd[f"{prefix}.{i}.{ln}.bias"]
+        report.mapped += [f"{prefix}.{i}.ffn+norms"]
+        i += 1
+
+
+_SPATIAL_TABLE_ORDER = (
+    "top_left_x", "top_left_y", "bottom_right_x", "bottom_right_y",
+    "width_emb", "height_emb",
+)
+
+
+def import_reference_state_dict(
+    params: dict, sd: Dict[str, np.ndarray], report: ImportReport = None
+) -> dict:
+    """Map a REFERENCE model ``state_dict()`` (any of the nine families,
+    `/root/reference/core/model/*.py`) into our param tree by prefix routing:
+
+    * ``backbone.`` (stock HF T5 / T52d) or ``encoder.`` (Customized/Phoneme
+      encoder-only T5) -> ``import_t5_params``
+    * ``vit.`` -> ``import_vit_params``
+    * ``visual_projector`` / ``spatial_feat_extractor`` (LaTr families)
+    * ``rel2Dbias`` + per-stream projectors/norms (SaL families)
+    * ``tgt_tok_emb`` / ``lm_head`` / ``decoder.decoder.layers`` (custom
+      decoder families; a plain-``nn.Embedding`` tgt_tok_emb — PhonemeSaL —
+      is reparameterized into our sqrt(d)-scaled embedding)
+
+    Returns a new tree; every checkpoint tensor's fate lands in ``report``.
+    """
+    import copy
+
+    out = copy.deepcopy(params)
+    rep = report if report is not None else ImportReport()
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def group(prefix):
+        pl = prefix + "."
+        return {k[len(pl):]: v for k, v in sd.items() if k.startswith(pl)}
+
+    t5_sd = group("backbone") or group("encoder")
+    if t5_sd:
+        if "rel2Dbias.Relative1D.relative_attention_bias.weight" in sd:
+            # SaL families inject the 2D bias; the encoder's own layer-0
+            # relative bias exists in the checkpoint but is never used
+            t5_sd.pop(
+                "encoder.block.0.layer.0.SelfAttention"
+                ".relative_attention_bias.weight",
+                None,
+            )
+        out["t5"] = import_t5_params(out["t5"], t5_sd, report=rep)
+    vit_sd = group("vit")
+    if vit_sd and "vit" in out:
+        out["vit"] = import_vit_params(out["vit"], vit_sd, report=rep)
+
+    def put(dst_path, key, value):
+        node = out
+        for p in dst_path[:-1]:
+            node = node.get(p)
+            if node is None:
+                rep.failed.append((key, f"no destination {'/'.join(dst_path)}"))
+                return
+        leaf = dst_path[-1]
+        if leaf not in node:
+            rep.failed.append((key, f"no destination {'/'.join(dst_path)}"))
+        elif tuple(np.shape(node[leaf])) != tuple(value.shape):
+            rep.failed.append(
+                (key, f"shape {value.shape} != ours {np.shape(node[leaf])}")
+            )
+        else:
+            node[leaf] = value.astype(np.float32)
+            rep.mapped.append(key)
+
+    if "visual_projector.weight" in sd:
+        put(("visual_projector", "kernel"), "visual_projector.weight",
+            sd["visual_projector.weight"].T)
+        put(("visual_projector", "bias"), "visual_projector.bias",
+            sd["visual_projector.bias"])
+    if "spatial_feat_extractor.top_left_x.weight" in sd:
+        tables = np.stack(
+            [sd[f"spatial_feat_extractor.{n}.weight"] for n in _SPATIAL_TABLE_ORDER]
+        )
+        put(("spatial", "tables"), "spatial_feat_extractor.*", tables)
+    if "rel2Dbias.Relative1D.relative_attention_bias.weight" in sd:
+        put(("rel2d", "rel1d", "embedding"),
+            "rel2Dbias.Relative1D.relative_attention_bias.weight",
+            sd["rel2Dbias.Relative1D.relative_attention_bias.weight"])
+        put(("rel2d", "scp", "embedding"),
+            "rel2Dbias.SCP.relative_attention_bias.weight",
+            sd["rel2Dbias.SCP.relative_attention_bias.weight"])
+    for stream in ("ocr", "obj"):
+        if f"{stream}_feature_projector.weight" not in sd:
+            continue
+        put((f"{stream}_feature_projector", "kernel"),
+            f"{stream}_feature_projector.weight",
+            sd[f"{stream}_feature_projector.weight"].T)
+        put((f"{stream}_feature_projector", "bias"),
+            f"{stream}_feature_projector.bias",
+            sd[f"{stream}_feature_projector.bias"])
+        put((f"{stream}_bbox_projector", "kernel"),
+            f"{stream}_bbox_projector.weight",
+            sd[f"{stream}_bbox_projector.weight"].T)
+        put((f"{stream}_bbox_projector", "bias"),
+            f"{stream}_bbox_projector.bias",
+            sd[f"{stream}_bbox_projector.bias"])
+        put((f"{stream}_norm", "weight"),
+            f"{stream}_feature_layer_norm.weight",
+            sd[f"{stream}_feature_layer_norm.weight"])
+
+    dec = out.get("decoder")
+    if dec is not None:
+        if "tgt_tok_emb.embedding.weight" in sd:  # sqrt(d)-scaled TokenEmbedding
+            put(("decoder", "embed", "embedding"), "tgt_tok_emb.embedding.weight",
+                sd["tgt_tok_emb.embedding.weight"])
+        elif "tgt_tok_emb.weight" in sd:  # plain nn.Embedding (PhonemeSaL):
+            # our embed is sqrt(d)-scaled — import weight/sqrt(d) for equality
+            w = sd["tgt_tok_emb.weight"]
+            put(("decoder", "embed", "embedding"), "tgt_tok_emb.weight",
+                w / np.sqrt(w.shape[1]))
+        if "lm_head.weight" in sd:
+            put(("decoder", "lm_head", "kernel"), "lm_head.weight",
+                sd["lm_head.weight"].T)
+            put(("decoder", "lm_head", "bias"), "lm_head.bias", sd["lm_head.bias"])
+        import_torch_decoder_layers(dec, sd, "decoder.decoder.layers", rep)
+
+    if report is None:
+        rep.log_summary("reference checkpoint")
+    return out

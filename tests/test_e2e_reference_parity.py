@@ -169,27 +169,21 @@ def test_identical_answer_strings_end_to_end(tmp_path):
 
 
 def _import_torch_decoder_layers(dec_params, torch_layers, d_model):
-    """torch nn.TransformerDecoder layers -> our CustomDecoder layer params
-    (packed in_proj qkv split three ways, post-LN norms)."""
-    for i, tl in enumerate(torch_layers):
-        dst = dec_params[f"layer_{i}"]
-        for src_attn, name in (
-            (tl.self_attn, "self_attn"), (tl.multihead_attn, "cross_attn"),
-        ):
-            w = src_attn.in_proj_weight.detach().numpy()
-            b = src_attn.in_proj_bias.detach().numpy()
-            for j, proj in enumerate(("q", "k", "v")):
-                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
-                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
-            dst[name]["out"]["kernel"] = src_attn.out_proj.weight.detach().numpy().T
-            dst[name]["out"]["bias"] = src_attn.out_proj.bias.detach().numpy()
-        dst["fc1"]["kernel"] = tl.linear1.weight.detach().numpy().T
-        dst["fc1"]["bias"] = tl.linear1.bias.detach().numpy()
-        dst["fc2"]["kernel"] = tl.linear2.weight.detach().numpy().T
-        dst["fc2"]["bias"] = tl.linear2.bias.detach().numpy()
-        for k, ln in (("ln1", tl.norm1), ("ln2", tl.norm2), ("ln3", tl.norm3)):
-            dst[k]["scale"] = ln.weight.detach().numpy()
-            dst[k]["bias"] = ln.bias.detach().numpy()
+    """torch nn.TransformerDecoder layers -> our CustomDecoder layer params,
+    via the production state-dict importer (models/hf_import.py)."""
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_torch_decoder_layers,
+    )
+
+    sd = {
+        f"layers.{i}.{k}": v.detach().numpy()
+        for i, tl in enumerate(torch_layers)
+        for k, v in tl.state_dict().items()
+    }
+    rep = ImportReport()
+    import_torch_decoder_layers(dec_params, sd, "layers", rep)
+    assert not rep.failed, rep.failed
 
 
 def test_sal_identical_answer_strings_end_to_end(tmp_path):
