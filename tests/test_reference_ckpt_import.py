@@ -109,3 +109,137 @@ def test_import_reference_state_dict_reports_unmappable(tmp_path):
     )
     assert "visual_projector.weight" in report.mapped
     assert any(k == "visual_projector.bias" for k, _ in report.failed)
+
+
+def test_convert_customized_sal_pth_then_identical_answers(tmp_path):
+    """The converter's SaL + custom-decoder routing: rel2d bias tables,
+    per-stream projectors/norms, torch TransformerDecoder layers, scaled
+    target embedding — all through the script, answers identical."""
+    import functools
+
+    from transformers import T5Config as HFT5Config
+
+    from phoneme_vqa_tpu.data.synthetic import make_sal_fixture, tiny_sal_yaml
+
+    from .reference_loader import load_reference_package
+
+    max_len = 12
+    d_model = 32
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=True,
+        DTYPE="float32", max_eval_length=max_len,
+        EXECUTOR="CustomizedSaL_Executor", MODEL_CLASS="CustomizedSaL",
+        MODEL_MOD_CONFIG_CLASS="CustomizedSaL_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, isgreedy=True, num_beam=1, max_a_length=16,
+    )
+    config = get_config(yaml_path)
+
+    ref_mod = load_reference_package("core.model.CustomizedSaL")
+    sal_utils = load_reference_package("core.model.modules.SaL_utils")
+    t5_cfg = HFT5Config(
+        vocab_size=512, d_model=d_model, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0, tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    t5_cfg.new_token_embedding_size = 512
+    t5_cfg.ocr_hidden = config.ocr_hidden
+    t5_cfg.obj_hidden = config.obj_hidden
+    t5_cfg.num_decoder_layers = 2
+    t5_cfg.n_head = 4
+
+    class _EncF:
+        @staticmethod
+        def from_pretrained(name):
+            return sal_utils.T52DEncoderModel(t5_cfg)
+
+    old = (
+        ref_mod.T52DEncoderModel,
+        ref_mod.RelativePositionBias1D,
+        ref_mod.SCPRelativePositionBias,
+    )
+    ref_mod.T52DEncoderModel = _EncF
+    ref_mod.RelativePositionBias1D = functools.partial(
+        sal_utils.RelativePositionBias1D, device="cpu"
+    )
+    ref_mod.SCPRelativePositionBias = functools.partial(
+        sal_utils.SCPRelativePositionBias, device="cpu"
+    )
+    try:
+        torch.manual_seed(41)
+        # 259 = ByteTokenizer vocab (fixed, so sizes line up deterministically)
+        ref = ref_mod.CustomizedSaL(
+            t5_cfg, tgt_vocab_size=259, obj_dropout=0.0, ocr_dropout=0.0
+        ).eval()
+    finally:
+        (
+            ref_mod.T52DEncoderModel,
+            ref_mod.RelativePositionBias1D,
+            ref_mod.SCPRelativePositionBias,
+        ) = old
+
+    pth = str(tmp_path / "best_ckp.pth")
+    torch.save({"state_dict": ref.state_dict(), "epoch": 1}, pth)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "import_reference_ckpt.py"),
+         "--config-file", yaml_path, "--ckpt", pth, "--name", "best"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2500:]
+
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex._load_trained_checkpoint("best")
+    ex._place_state()
+    ours = ex.infer(ex.val_data, config.EVAL_BATCH_SIZE, max_len)
+    tok = ex.decode_tokenizer
+
+    ref_rows = []
+    for batch, n_valid in batch_iterator(
+        ex.val_data, config.EVAL_BATCH_SIZE, pad_final=False
+    ):
+        tt = lambda k, dt: torch.tensor(np.asarray(batch[k])).to(dt)
+        with torch.no_grad():
+            obj_emb = ref._calculate_obj_embedding(
+                tt("tokenized_obj", torch.long),
+                tt("obj_coordinates", torch.float32),
+                tt("obj_features", torch.float32),
+            )
+            ocr_emb = ref._calculate_ocr_embedding(
+                tt("tokenized_ocr", torch.long),
+                tt("ocr_coordinates", torch.float32),
+                tt("ocr_features", torch.float32),
+            )
+            ques_emb = ref.encoder.shared(tt("input_ids", torch.long))
+            emb = torch.cat([ques_emb, ocr_emb, obj_emb], dim=1)
+            mask = torch.cat(
+                [
+                    tt("src_attention_mask", torch.long),
+                    tt("ocr_attention_mask", torch.long),
+                    tt("obj_attention_mask", torch.long),
+                ],
+                dim=1,
+            )
+            bias = ref.rel2Dbias(
+                emb, mask, tt("ocr_coordinates", torch.float32),
+                config.max_q_length, config.max_ocr_length,
+            )
+            ext = (1.0 - mask.to(torch.float32)) * torch.finfo(torch.float32).min
+            bias = bias + ext[:, None, None, :]
+            enc_out = ref.encoder(
+                attention_mask=mask, inputs_embeds=emb, position_bias=bias
+            ).last_hidden_state
+            bz = emb.shape[0]
+            ys = torch.full((bz, 1), tok.bos_id, dtype=torch.long)
+            for _ in range(max_len - 1):
+                out = ref.decode(ys, enc_out, mask == 0)
+                nxt = torch.argmax(ref.lm_head(out[:, -1]), dim=-1)
+                ys = torch.cat([ys, nxt.view(bz, 1)], dim=1)
+                if (ys == tok.eos_id).any(dim=1).sum() == bz:
+                    break
+        ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
+    theirs = ex._decode_rows(ref_rows)
+    assert ours == theirs, list(zip(ours, theirs))
