@@ -64,6 +64,10 @@ class ServingEngine:
     warmup: compile the executable at construction, not on first request.
     max_queue: >0 bounds pending requests; submit raises when full
         (backpressure instead of unbounded accumulation under overload).
+    cache_size: >0 memoizes up to that many (image_id, question) -> answer
+        pairs (LRU). Decode is deterministic and weights are fixed for the
+        engine's lifetime, so repeats are answered without touching the
+        device.
     """
 
     def __init__(
@@ -76,6 +80,7 @@ class ServingEngine:
         max_answer_length: int = 20,
         warmup: bool = True,
         max_queue: int = 0,
+        cache_size: int = 0,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -106,7 +111,10 @@ class ServingEngine:
         self._served = 0
         self._failed = 0
         self._batches = 0
+        self._cache_hits = 0
         self._latencies_ms: list = []
+        self._cache_size = int(cache_size)
+        self._cache: "dict" = {}  # (image_id, question) -> answer, LRU order
         if warmup:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable)
@@ -132,6 +140,16 @@ class ServingEngine:
                 pass  # leave as-is; membership check below rejects it
         if image_id not in self._known_ids:
             raise KeyError(f"unknown image_id {image_id!r} (not in OCR store)")
+        if self._cache_size:
+            key = (image_id, question)
+            with self._stats_lock:
+                if key in self._cache:
+                    answer = self._cache.pop(key)
+                    self._cache[key] = answer  # move-to-end: LRU
+                    self._cache_hits += 1
+                    fut: Future = Future()
+                    fut.set_result(answer)
+                    return fut
         req = _Request(image_id, question)
         with self._lock:  # pairs with stop(): no enqueue after the sentinel
             if self._stopped:
@@ -158,6 +176,7 @@ class ServingEngine:
                 "served": self._served,
                 "failed": self._failed,
                 "batches": self._batches,
+                "cache_hits": self._cache_hits,
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
             }
@@ -254,3 +273,8 @@ class ServingEngine:
                     (now - r.t_submit) * 1e3 for r in reqs
                 )
                 del self._latencies_ms[:-10000]
+                if self._cache_size:
+                    for r, a in zip(reqs, answers):
+                        self._cache[(r.image_id, r.question)] = a
+                    while len(self._cache) > self._cache_size:
+                        self._cache.pop(next(iter(self._cache)))

@@ -55,6 +55,8 @@ def parse_args():
                         "(POST /answer, GET /stats, GET /healthz)")
     p.add_argument("--max-queue", type=int, default=0,
                    help=">0 bounds pending requests (backpressure)")
+    p.add_argument("--cache-size", type=int, default=0,
+                   help=">0 memoizes repeated (image_id, question) answers (LRU)")
     return p.parse_args()
 
 
@@ -74,6 +76,7 @@ def build_engine(args):
         max_wait_ms=args.max_wait_ms,
         max_answer_length=max_len,
         max_queue=args.max_queue,
+        cache_size=args.cache_size,
     )
 
 

@@ -243,3 +243,24 @@ def test_convert_customized_sal_pth_then_identical_answers(tmp_path):
         ref_rows.extend(np.asarray(ys)[:n_valid].tolist())
     theirs = ex._decode_rows(ref_rows)
     assert ours == theirs, list(zip(ours, theirs))
+
+
+def test_plain_embedding_reparameterized():
+    """A plain nn.Embedding tgt_tok_emb (PhonemeSaL) imports as weight/sqrt(d)
+    into our sqrt(d)-scaled embedding."""
+    from phoneme_vqa_tpu.models.hf_import import (
+        ImportReport,
+        import_reference_state_dict,
+    )
+
+    d = 16
+    w = np.random.RandomState(0).randn(10, d).astype(np.float32)
+    params = {"decoder": {"embed": {"embedding": np.zeros((10, d), np.float32)}}}
+    report = ImportReport()
+    out = import_reference_state_dict(
+        params, {"tgt_tok_emb.weight": w}, report=report
+    )
+    np.testing.assert_allclose(
+        out["decoder"]["embed"]["embedding"], w / np.sqrt(d), rtol=1e-6
+    )
+    assert not report.failed

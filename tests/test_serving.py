@@ -302,6 +302,39 @@ def test_phoneme_sal_serves(tmp_path):
     assert got == ex_eval.infer(ex_eval.val_data, 4, 10)
 
 
+def test_answer_cache():
+    """cache_size memoizes repeats (decode is deterministic, weights fixed):
+    second identical request resolves without a device batch; LRU evicts."""
+    import time
+
+    calls = []
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            calls.append(len(ds))
+            return [f"ans{len(calls)}-{i}" for i in range(len(ds))]
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0, 3.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False, cache_size=2) as eng:
+        a1 = eng.answer(1.0, "q", timeout=30)
+        assert eng.answer(1.0, "q", timeout=30) == a1  # hit
+        assert len(calls) == 1
+        assert eng.stats()["cache_hits"] == 1
+        # string-coerced id hits the same cache entry
+        assert eng.answer("1", "q", timeout=30) == a1
+        assert len(calls) == 1
+        # fill beyond cache_size: entry for (1.0, 'q') evicts (LRU)
+        eng.answer(2.0, "q", timeout=30)
+        eng.answer(3.0, "q", timeout=30)
+        n = len(calls)
+        eng.answer(1.0, "q", timeout=30)
+        assert len(calls) == n + 1  # was evicted, re-decoded
+
+
 def test_stats_and_backpressure():
     """Stub executor: stats track served requests and latency percentiles;
     max_queue bounds admission with a loud error instead of unbounded
