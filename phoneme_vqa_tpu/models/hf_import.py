@@ -317,6 +317,16 @@ def import_torch_decoder_layers(
     """torch ``nn.TransformerDecoder`` layer state dict -> our CustomDecoder
     layer params (packed in_proj qkv split three ways, post-LN norms).
     ``prefix`` addresses the layer list, e.g. ``decoder.decoder.layers``."""
+    def _set(dst, leaf, key, value):
+        # shape-checked f32 assignment, like every other import path
+        if tuple(np.shape(dst.get(leaf))) != tuple(value.shape):
+            report.failed.append(
+                (key, f"shape {value.shape} != ours {np.shape(dst.get(leaf))}")
+            )
+        else:
+            dst[leaf] = np.asarray(value, np.float32)
+            report.mapped.append(key)
+
     i = 0
     while f"{prefix}.{i}.self_attn.in_proj_weight" in sd:
         dst = dec_params.get(f"layer_{i}")
@@ -331,19 +341,25 @@ def import_torch_decoder_layers(
             w = sd[f"{prefix}.{i}.{src}.in_proj_weight"]
             b = sd[f"{prefix}.{i}.{src}.in_proj_bias"]
             for j, proj in enumerate(("q", "k", "v")):
-                dst[name][proj]["kernel"] = w[j * d_model : (j + 1) * d_model].T
-                dst[name][proj]["bias"] = b[j * d_model : (j + 1) * d_model]
-            dst[name]["out"]["kernel"] = sd[f"{prefix}.{i}.{src}.out_proj.weight"].T
-            dst[name]["out"]["bias"] = sd[f"{prefix}.{i}.{src}.out_proj.bias"]
-            report.mapped += [f"{prefix}.{i}.{src}.*"]
-        dst["fc1"]["kernel"] = sd[f"{prefix}.{i}.linear1.weight"].T
-        dst["fc1"]["bias"] = sd[f"{prefix}.{i}.linear1.bias"]
-        dst["fc2"]["kernel"] = sd[f"{prefix}.{i}.linear2.weight"].T
-        dst["fc2"]["bias"] = sd[f"{prefix}.{i}.linear2.bias"]
+                _set(dst[name][proj], "kernel", f"{prefix}.{i}.{src}.{proj}",
+                     w[j * d_model : (j + 1) * d_model].T)
+                _set(dst[name][proj], "bias", f"{prefix}.{i}.{src}.{proj}.b",
+                     b[j * d_model : (j + 1) * d_model])
+            _set(dst[name]["out"], "kernel", f"{prefix}.{i}.{src}.out_proj.weight",
+                 sd[f"{prefix}.{i}.{src}.out_proj.weight"].T)
+            _set(dst[name]["out"], "bias", f"{prefix}.{i}.{src}.out_proj.bias",
+                 sd[f"{prefix}.{i}.{src}.out_proj.bias"])
+        _set(dst["fc1"], "kernel", f"{prefix}.{i}.linear1.weight",
+             sd[f"{prefix}.{i}.linear1.weight"].T)
+        _set(dst["fc1"], "bias", f"{prefix}.{i}.linear1.bias",
+             sd[f"{prefix}.{i}.linear1.bias"])
+        _set(dst["fc2"], "kernel", f"{prefix}.{i}.linear2.weight",
+             sd[f"{prefix}.{i}.linear2.weight"].T)
+        _set(dst["fc2"], "bias", f"{prefix}.{i}.linear2.bias",
+             sd[f"{prefix}.{i}.linear2.bias"])
         for k, ln in (("ln1", "norm1"), ("ln2", "norm2"), ("ln3", "norm3")):
-            dst[k]["scale"] = sd[f"{prefix}.{i}.{ln}.weight"]
-            dst[k]["bias"] = sd[f"{prefix}.{i}.{ln}.bias"]
-        report.mapped += [f"{prefix}.{i}.ffn+norms"]
+            _set(dst[k], "scale", f"{prefix}.{i}.{ln}.weight", sd[f"{prefix}.{i}.{ln}.weight"])
+            _set(dst[k], "bias", f"{prefix}.{i}.{ln}.bias", sd[f"{prefix}.{i}.{ln}.bias"])
         i += 1
 
 
@@ -394,6 +410,11 @@ def import_reference_state_dict(
     vit_sd = group("vit")
     if vit_sd and "vit" in out:
         out["vit"] = import_vit_params(out["vit"], vit_sd, report=rep)
+    elif vit_sd:
+        rep.failed.append(
+            ("vit.*", f"checkpoint has {len(vit_sd)} ViT tensors but our "
+                      "model has no vit subtree (wrong --config-file family?)")
+        )
 
     def put(dst_path, key, value):
         node = out
@@ -450,6 +471,16 @@ def import_reference_state_dict(
             sd[f"{stream}_feature_layer_norm.weight"])
 
     dec = out.get("decoder")
+    dec_keys = [
+        k for k in sd
+        if k.startswith(("tgt_tok_emb.", "lm_head.", "decoder."))
+    ]
+    if dec is None and dec_keys:
+        rep.failed.append(
+            ("decoder.*", f"checkpoint has {len(dec_keys)} custom-decoder "
+                          "tensors but our model has no decoder subtree "
+                          "(wrong --config-file family?)")
+        )
     if dec is not None:
         if "tgt_tok_emb.embedding.weight" in sd:  # sqrt(d)-scaled TokenEmbedding
             put(("decoder", "embed", "embedding"), "tgt_tok_emb.embedding.weight",

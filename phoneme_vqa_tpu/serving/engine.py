@@ -139,7 +139,8 @@ class ServingEngine:
             except (TypeError, ValueError):
                 pass  # leave as-is; membership check below rejects it
         if image_id not in self._known_ids:
-            raise KeyError(f"unknown image_id {image_id!r} (not in OCR store)")
+            stores = "OCR store" if self.obj_df is None else "OCR+object stores"
+            raise KeyError(f"unknown image_id {image_id!r} (not in {stores})")
         if self._cache_size:
             key = (image_id, question)
             with self._stats_lock:

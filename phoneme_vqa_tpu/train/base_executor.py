@@ -291,6 +291,11 @@ class BaseExecutor:
             try:
                 restored = self.ckpt.restore(name, self._ckpt_tree())
             except Exception as e:
+                # params-only checkpoint (e.g. a converted reference .pth,
+                # scripts/import_reference_ckpt.py): resume the params with a
+                # fresh optimizer rather than discarding them
+                if self._try_params_only_resume(name):
+                    return
                 log.warning(
                     f"(!) {name}_ckp exists but is unreadable ({e!r}) — "
                     "falling back to an older checkpoint / fresh start"
@@ -305,6 +310,30 @@ class BaseExecutor:
             self.best_score = float(restored["best_score"])
             log.info(f"###Resumed from {name}_ckp (epoch {int(self.state.epoch)})")
             return
+
+    def _try_params_only_resume(self, name: str) -> bool:
+        try:
+            raw = self.ckpt.restore_raw(name)
+            if "opt_state" in raw or "params" not in raw:
+                return False  # a full checkpoint that failed for other reasons
+            params = jax.tree.map(np.asarray, raw["params"])
+            ours = jax.tree.leaves(self.state.params)
+            theirs = jax.tree.leaves(params)
+            if len(ours) != len(theirs) or any(
+                np.shape(a) != np.shape(b) for a, b in zip(ours, theirs)
+            ):
+                return False
+        except Exception:
+            return False
+        self.state = self.state.replace(
+            params=params, epoch=int(raw.get("epoch", 0))
+        )
+        self.best_score = float(raw.get("best_score", 0.0))
+        log.info(
+            f"###Resumed PARAMS ONLY from {name}_ckp (converted/partial "
+            "checkpoint) — optimizer starts fresh"
+        )
+        return True
 
     def _load_trained_checkpoint(self, loadtype: str):
         """Eval/predict: restore params only (no optimizer template needed)."""

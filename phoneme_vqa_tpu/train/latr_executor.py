@@ -123,10 +123,21 @@ class LaTrExecutor(BaseExecutor):
                 )
         empty = pd.DataFrame({"answer": pd.Series([], dtype=str)})
         self._prepare_decode_tokenizer(empty, empty)
-        if hasattr(self, "_adapt_frames"):  # SaL family: OCR + object stores
-            self.serve_frames = self._adapt_frames()
-        else:
-            self.serve_frames = (textlayout_ocr_adapt(self.config.ocr_path), None)
+        self._serve_frames_cache = None
+
+    @property
+    def serve_frames(self):
+        """(ocr_df, obj_df) feature stores, adapted lazily on first access —
+        consumers that never featurize (e.g. the checkpoint converter) pay
+        nothing and need no feature files on disk."""
+        if getattr(self, "_serve_frames_cache", None) is None:
+            if hasattr(self, "_adapt_frames"):  # SaL family: OCR + obj stores
+                self._serve_frames_cache = self._adapt_frames()
+            else:
+                self._serve_frames_cache = (
+                    textlayout_ocr_adapt(self.config.ocr_path), None
+                )
+        return self._serve_frames_cache
 
     # -- model -----------------------------------------------------------------
 

@@ -87,6 +87,13 @@ def make_http_server(engine, port: int):
     /healthz."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    class _Server(ThreadingHTTPServer):
+        # graceful shutdown: server_close() must wait for in-flight handler
+        # threads (which may be blocked on engine futures) so their
+        # responses are written before the process exits
+        daemon_threads = False
+        block_on_close = True
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # route access logs to our logger
             pass
@@ -121,6 +128,10 @@ def make_http_server(engine, port: int):
                 return self._send(
                     400, {"error": "image_id and question fields required"}
                 )
+            if not isinstance(req["image_id"], (str, int, float)):
+                return self._send(
+                    400, {"error": "image_id must be a string or number"}
+                )
             try:
                 ans = engine.answer(
                     req["image_id"], str(req["question"]), timeout=120
@@ -135,7 +146,7 @@ def make_http_server(engine, port: int):
             except Exception as e:
                 self._send(500, {"error": str(e)})
 
-    return ThreadingHTTPServer(("", port), Handler)
+    return _Server(("", port), Handler)
 
 
 def main():
@@ -158,6 +169,7 @@ def main():
         try:
             srv.serve_forever()
         finally:
+            srv.server_close()  # waits for in-flight handler threads
             engine.stop()
             log.info(f"## serving stats: {engine.stats()}")
         return

@@ -168,7 +168,7 @@ def test_identical_answer_strings_end_to_end(tmp_path):
     assert len(ours) == 6
 
 
-def _import_torch_decoder_layers(dec_params, torch_layers, d_model):
+def _import_torch_decoder_layers(dec_params, torch_layers):
     """torch nn.TransformerDecoder layers -> our CustomDecoder layer params,
     via the production state-dict importer (models/hf_import.py)."""
     from phoneme_vqa_tpu.models.hf_import import (
@@ -458,7 +458,7 @@ def test_customized_latr_identical_answer_strings_end_to_end(tmp_path):
     )
     dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
     dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
-    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers)
     ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
     ex._place_state()
 
@@ -619,7 +619,7 @@ def test_phoneme_sal_identical_answer_strings_end_to_end(tmp_path):
     ).astype(np.float32)
     dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
     dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
-    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers)
     ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
     ex._place_state()
 
@@ -880,7 +880,7 @@ def test_customized_prestu_identical_answer_strings_end_to_end(tmp_path):
     )
     dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
     dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
-    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers)
     ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
     ex._place_state()
 
@@ -1034,7 +1034,7 @@ def test_customized_sal_identical_answer_strings_end_to_end(tmp_path):
     )
     dec["lm_head"]["kernel"] = ref.lm_head.weight.detach().numpy().T.astype(np.float32)
     dec["lm_head"]["bias"] = ref.lm_head.bias.detach().numpy().astype(np.float32)
-    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers, d_model)
+    _import_torch_decoder_layers(dec, ref.decoder.decoder.layers)
     ex.state = ex.state.replace(params=jax.tree.map(np.asarray, params))
     ex._place_state()
 

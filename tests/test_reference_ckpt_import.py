@@ -88,6 +88,14 @@ def test_convert_reference_pth_then_identical_answers(tmp_path):
     assert ours == theirs, list(zip(ours, theirs))
     assert len(ours) == 6
 
+    # fine-tuning on top of a converted (params-only) checkpoint resumes the
+    # params with a fresh optimizer — never silently random-restarts
+    ex_train = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    a = np.asarray(jax.tree.leaves(ex_train.state.params)[0])
+    b = np.asarray(jax.tree.leaves(ex.state.params)[0])
+    np.testing.assert_array_equal(a, b)
+    assert int(ex_train.state.epoch) == 3  # carried from the .pth
+
 
 def test_import_reference_state_dict_reports_unmappable(tmp_path):
     """Loud failure: a tensor with no destination or a wrong shape lands in
