@@ -167,6 +167,23 @@ def test_identical_answer_strings_end_to_end(tmp_path):
     assert ours == theirs, list(zip(ours, theirs))
     assert len(ours) == 6
 
+    # BASELINE.md's correctness baseline, end to end: the reference's OWN
+    # compute_scores on its own generations must equal our compute_scores on
+    # ours — identical strings through two independent metric stacks
+    from phoneme_vqa_tpu.evaluation import compute_scores
+
+    gts = {i: [a] for i, a in enumerate(ex.val_answer)}
+    our_score, _ = compute_scores(gts, {i: [g] for i, g in enumerate(ours)})
+    ref_eval = load_reference_package("evaluation")
+    ref_score, _ = ref_eval.compute_scores(
+        gts, {i: [g] for i, g in enumerate(theirs)}
+    )
+    for k in ("Accuracy", "F1", "CIDEr", "ROUGE"):
+        assert float(our_score[k]) == pytest.approx(float(ref_score[k]), abs=1e-12)
+    assert [float(x) for x in our_score["BLEU"]] == pytest.approx(
+        [float(x) for x in ref_score["BLEU"]], abs=1e-12
+    )
+
 
 def _import_torch_decoder_layers(dec_params, torch_layers):
     """torch nn.TransformerDecoder layers -> our CustomDecoder layer params,
