@@ -151,8 +151,30 @@ def shard_batch(mesh: Optional[Mesh], batch: dict, process_local: bool = False):
     n = int(mesh.shape[DATA_AXIS])
     sizes = {leaf.shape[0] for leaf in jax.tree.leaves(batch)}
     if any(s % n for s in sizes):
+        _warn_replicated_fallback(sorted(sizes), n)
         return jax.device_put(batch, replicated(mesh))
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+_warned_replicated = False
+
+
+def _warn_replicated_fallback(sizes, n):
+    """One loud line (once per process) when a batch falls off the data axis:
+    the replicated fallback is correct but runs at 1/data_parallelism speed,
+    which should never be silent."""
+    global _warned_replicated
+    if _warned_replicated:
+        return
+    _warned_replicated = True
+    from ..utils.logger import get_logger
+
+    get_logger(__name__).warning(
+        f"(!) batch size {sizes} does not divide the data axis ({n}): "
+        f"falling back to REPLICATED placement — every chip computes the "
+        f"full batch ({n}x slower than data-parallel). Pick a batch size "
+        f"divisible by {n} (pad_batch_to_devices) to restore DP."
+    )
 
 
 def replicate_tree(mesh: Optional[Mesh], tree):

@@ -127,6 +127,9 @@ class ServingEngine:
 
     def submit(self, image_id, question: str) -> Future:
         """Enqueue a request; resolves to the answer string."""
+        with self._lock:  # uniform admission: a stopped engine rejects
+            if self._stopped:  # everything, cached answers included
+                raise RuntimeError("engine stopped")
         if self._id_dtype.kind in "if":
             try:
                 # coerce to the store's key dtype (JSON clients send "3" or 3

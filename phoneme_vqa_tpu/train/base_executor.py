@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import evaluation
-from ..parallel.mesh import create_mesh, place_tree, shard_batch
+from ..parallel.mesh import (
+    create_mesh,
+    pad_batch_to_devices,
+    place_tree,
+    shard_batch,
+)
 from ..utils.logger import get_logger
 
 log = get_logger(__name__)
@@ -137,9 +142,15 @@ class BaseExecutor:
             train_loss = self._train_epoch(epoch)
             scores = self._evaluate_metrics()
             acc = scores["Accuracy"]
+            # VAL_LOSS: true — also track the teacher-forced validation loss
+            # each epoch (overfitting signal the answer metrics can hide)
+            val_loss = (
+                self.validate_loss() if self.config.get("VAL_LOSS") else None
+            )
             log.info(
                 f"Epoch {epoch}: loss={train_loss:.4f} "
-                f"({time.perf_counter() - t_ep:.1f}s) {scores}"
+                + (f"val_loss={val_loss:.4f} " if val_loss is not None else "")
+                + f"({time.perf_counter() - t_ep:.1f}s) {scores}"
             )
             if acc > best_acc:
                 best_acc, best_epoch = acc, epoch
@@ -147,6 +158,7 @@ class BaseExecutor:
             self.state = self.state.replace(epoch=epoch)
             self._log_metrics(
                 {"epoch": epoch, "train_loss": float(train_loss),
+                 **({"val_loss": float(val_loss)} if val_loss is not None else {}),
                  **{k: (list(map(float, v)) if isinstance(v, (list, tuple))
                         else float(v)) for k, v in scores.items()}}
             )
@@ -312,10 +324,15 @@ class BaseExecutor:
             return
 
     def _try_params_only_resume(self, name: str) -> bool:
+        """Salvage the params from a checkpoint whose full restore failed —
+        either a params-only tree (converted reference .pth) or a full
+        checkpoint whose opt_state no longer matches (e.g. OPTIMIZER switched
+        adam → adafactor mid-run). Trained params are recoverable in both
+        cases; only the optimizer starts fresh."""
         try:
             raw = self.ckpt.restore_raw(name)
-            if "opt_state" in raw or "params" not in raw:
-                return False  # a full checkpoint that failed for other reasons
+            if "params" not in raw:
+                return False
             params = jax.tree.map(np.asarray, raw["params"])
             ours = jax.tree.leaves(self.state.params)
             theirs = jax.tree.leaves(params)
@@ -325,13 +342,18 @@ class BaseExecutor:
                 return False
         except Exception:
             return False
+        # restore step as well: epoch_decay_schedule keys on step, so a
+        # params-only resume at epoch N must not restart at the epoch-0 LR
         self.state = self.state.replace(
-            params=params, epoch=int(raw.get("epoch", 0))
+            params=params,
+            step=int(raw.get("step", 0)),
+            epoch=int(raw.get("epoch", 0)),
         )
         self.best_score = float(raw.get("best_score", 0.0))
         log.info(
-            f"###Resumed PARAMS ONLY from {name}_ckp (converted/partial "
-            "checkpoint) — optimizer starts fresh"
+            f"###Resumed PARAMS ONLY from {name}_ckp (converted/partial/"
+            "optimizer-mismatched checkpoint) — optimizer starts fresh at "
+            f"step {int(self.state.step)}"
         )
         return True
 
@@ -433,6 +455,14 @@ class BaseExecutor:
         # the global batch; shard_batch assembles the global array
         # (process_count == 1 → identity)
         host, n_hosts = jax.process_index(), jax.process_count()
+        if c.TRAIN_BATCH_SIZE % n_hosts:
+            # flooring here would silently shrink the global batch (and the
+            # effective LR scale) on every host — fail fast instead
+            raise ValueError(
+                f"TRAIN_BATCH_SIZE={c.TRAIN_BATCH_SIZE} must divide the host "
+                f"count ({n_hosts}): each host featurizes batch/hosts rows. "
+                f"Use {pad_batch_to_devices(c.TRAIN_BATCH_SIZE, n_hosts)}."
+            )
         local_bs = max(1, c.TRAIN_BATCH_SIZE // n_hosts)
         n_steps = num_batches(
             len(self.train_data) // n_hosts, local_bs, drop_last=True

@@ -43,12 +43,24 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 log = get_logger(__name__)
 
 
-def load_reference_ckpt(path: str) -> dict:
+def load_reference_ckpt(path: str, unsafe: bool = False) -> dict:
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        # weights_only=False unpickles arbitrary code from the .pth — only do
+        # that when the user explicitly opted in, and say why it was needed.
+        if not unsafe:
+            raise SystemExit(
+                f"Safe load (weights_only=True) failed for {path}: {e}\n"
+                "If you trust this checkpoint, re-run with --unsafe-load to "
+                "fall back to full unpickling (executes code from the file)."
+            )
+        log.warning(
+            f"weights_only=True load failed ({e}); falling back to UNSAFE "
+            f"torch.load(weights_only=False) on {path} per --unsafe-load"
+        )
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
@@ -59,12 +71,15 @@ def main():
     p.add_argument("--name", default="best", choices=["best", "last"])
     p.add_argument("--allow-partial", action="store_true",
                    help="write even if some tensors failed to map")
+    p.add_argument("--unsafe-load", action="store_true",
+                   help="permit torch.load(weights_only=False) fallback, "
+                        "which can execute code embedded in the .pth")
     args = p.parse_args()
 
     config = get_config(args.config_file)
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
 
-    ckpt = load_reference_ckpt(args.ckpt)
+    ckpt = load_reference_ckpt(args.ckpt, unsafe=args.unsafe_load)
     sd = ckpt.get("state_dict", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}

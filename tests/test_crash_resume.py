@@ -78,6 +78,42 @@ def test_sigkill_mid_train_then_resume_completes(tmp_path):
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
 
 
+def test_optimizer_switch_resumes_params_and_step(tmp_path):
+    """Switching OPTIMIZER (adam -> adafactor) on an existing run must not
+    silently restart from scratch: the full-checkpoint restore fails on the
+    opt_state template, but the trained params AND step are salvaged with a
+    fresh optimizer (ADVICE r2 items 2-3 — step matters because the
+    epoch-decay LR schedule keys on it)."""
+    import numpy as np
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1)
+    config = get_config(yaml_path)
+    ex0 = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ex0.run()
+    trained = jax.tree.map(
+        lambda x: __import__("numpy").asarray(x), ex0.state.params
+    )
+    step0, epoch0 = int(ex0.state.step), int(ex0.state.epoch)
+    assert step0 > 0
+
+    yaml2 = tiny_latr_yaml(paths, save, NUM_EPOCHS=1, OPTIMIZER="adafactor")
+    ex1 = EXECUTORS.get(get_config(yaml2).EXECUTOR)(
+        get_config(yaml2), mode="train"
+    )
+    assert int(ex1.state.step) == step0, "step lost in params-only resume"
+    assert int(ex1.state.epoch) == epoch0
+    for a, b in zip(jax.tree.leaves(trained), jax.tree.leaves(ex1.state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_corrupt_checkpoint_degrades_gracefully(tmp_path):
     """Fault injection: an unreadable last_ckp must not wedge auto-resume —
     training falls back to best_ckp, and with both corrupt starts fresh

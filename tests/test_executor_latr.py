@@ -147,6 +147,26 @@ def test_metrics_jsonl_written(tmp_path):
     assert len(lines) == 2
     rec = _json.loads(lines[-1])
     assert rec["epoch"] == 2 and "train_loss" in rec and "Accuracy" in rec
+    assert "val_loss" not in rec  # knob off by default
+
+
+def test_val_loss_knob(tmp_path):
+    """VAL_LOSS: true records the per-epoch teacher-forced validation loss in
+    metrics.jsonl (wires validate_loss into the training loop)."""
+    import json as _json
+
+    paths = make_latr_fixture(tmp_path)
+    save_path = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(
+        paths, save_path, NUM_EPOCHS=1, VAL_LOSS=True, EVAL_BATCH_SIZE=2
+    )
+    config = get_config(yaml_path)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+    rec = _json.loads(
+        open(os.path.join(save_path, "metrics.jsonl"), encoding="utf-8")
+        .read().splitlines()[-1]
+    )
+    assert np.isfinite(rec["val_loss"]) and rec["val_loss"] > 0
 
 
 def test_kernel_knobs_from_config(tmp_path):

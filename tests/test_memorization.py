@@ -48,7 +48,7 @@ def test_customized_latr_trains_to_memorization(tmp_path):
     answers = [str(a) for a in ex.val_answer]
     acc = sum(g == a for g, a in zip(gens, answers)) / len(gens)
     assert losses[-1] < losses[0] * 0.3, losses
-    assert acc >= 0.5, list(zip(gens, answers))[:8]
+    assert acc == 1.0, list(zip(gens, answers))[:8]
 
 
 @pytest.mark.slow
@@ -87,7 +87,7 @@ def test_phoneme_triple_trains_to_memorization(tmp_path):
     answers = [str(a) for a in ex.val_answer]
     acc = sum(g == a for g, a in zip(gens, answers)) / len(gens)
     assert losses[-1] < losses[0] * 0.3, losses
-    assert acc >= 0.5, list(zip(gens, answers))[:8]
+    assert acc == 1.0, list(zip(gens, answers))[:8]
 
 
 @pytest.mark.slow
@@ -113,6 +113,6 @@ def test_latr_trains_to_memorization(tmp_path):
     acc = sum(g == a for g, a in zip(gens, answers)) / len(gens)
 
     assert losses[-1] < losses[0] * 0.7, losses
-    # measured: exact-match 1.00 by epoch 10 at LR 3e-3; threshold is
-    # flake-tolerant but still requires real answer strings to come out
-    assert acc >= 0.5, list(zip(gens, answers))[:8]
+    # the fixture + seeds are deterministic: the gate asserts the full
+    # claimed memorization (README), not a flake-tolerant fraction
+    assert acc == 1.0, list(zip(gens, answers))[:8]

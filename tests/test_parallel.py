@@ -225,6 +225,53 @@ def test_loader_shards_partition_rows():
     assert sorted(seen) == list(range(20))
 
 
+def test_shard_batch_replicated_fallback_warns(caplog):
+    """A batch that doesn't divide the data axis still works (replicated
+    placement) but must WARN once — an 8x slowdown should never be silent
+    (VERDICT r2 'silent performance cliff')."""
+    import logging
+
+    from phoneme_vqa_tpu.parallel import mesh as mesh_mod
+
+    mesh = create_mesh({"data": 8})
+    batch = {"x": np.ones((7, 3), np.float32)}  # 7 % 8 != 0
+    mesh_mod._warned_replicated = False
+    with caplog.at_level(logging.WARNING):
+        out = shard_batch(mesh, batch)
+    warnings = [r for r in caplog.records if "REPLICATED" in r.getMessage()]
+    assert len(warnings) == 1
+    assert "divisible by 8" in warnings[0].getMessage()
+    assert np.asarray(out["x"]).shape == (7, 3)
+    # once per process, not once per batch
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        shard_batch(mesh, batch)
+    assert not [r for r in caplog.records if "REPLICATED" in r.getMessage()]
+
+
+def test_train_batch_size_must_divide_hosts(tmp_path, monkeypatch):
+    """Multi-host: a TRAIN_BATCH_SIZE that doesn't divide the host count
+    fails fast instead of silently shrinking the global batch
+    (train/base_executor.py _train_epoch)."""
+    import os
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    paths = make_latr_fixture(str(tmp_path), n_rows=16)
+    yaml_path = tiny_latr_yaml(
+        paths, os.path.join(str(tmp_path), "ck"), NUM_EPOCHS=1, SAVE=False,
+        TRAIN_BATCH_SIZE=8,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    monkeypatch.setattr(jax, "process_count", lambda: 3)  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="must divide the host count"):
+        ex._train_epoch(1)
+
+
 def test_multihost_init_noop_single_host(monkeypatch):
     """maybe_initialize_distributed is a safe no-op without a coordinator."""
     from phoneme_vqa_tpu.parallel import multihost

@@ -272,3 +272,39 @@ def test_plain_embedding_reparameterized():
         out["decoder"]["embed"]["embedding"], w / np.sqrt(d), rtol=1e-6
     )
     assert not report.failed
+
+
+def test_unsafe_load_is_gated(tmp_path):
+    """A .pth that fails weights_only=True must NOT silently fall back to
+    full unpickling (arbitrary code execution): without --unsafe-load the
+    loader exits loudly; with unsafe=True it proceeds (ADVICE r2)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "import_reference_ckpt",
+        os.path.join(REPO, "scripts", "import_reference_ckpt.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _NotATensor:
+        pass
+
+    # make the class unpicklable-by-allowlist but importable for the
+    # unsafe fallback path
+    import types
+
+    m = types.ModuleType("_ckpt_test_helper")
+    _NotATensor.__module__ = "_ckpt_test_helper"
+    _NotATensor.__qualname__ = "_NotATensor"
+    m._NotATensor = _NotATensor
+    sys.modules["_ckpt_test_helper"] = m
+    try:
+        path = str(tmp_path / "bad.pth")
+        torch.save({"state_dict": {"x": torch.zeros(2)}, "junk": _NotATensor()}, path)
+        with pytest.raises(SystemExit, match="unsafe-load"):
+            mod.load_reference_ckpt(path)
+        out = mod.load_reference_ckpt(path, unsafe=True)
+        assert "state_dict" in out
+    finally:
+        del sys.modules["_ckpt_test_helper"]

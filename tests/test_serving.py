@@ -335,6 +335,27 @@ def test_answer_cache():
         assert len(calls) == n + 1  # was evicted, re-decoded
 
 
+def test_stopped_engine_rejects_cached_requests():
+    """Admission is uniform after stop(): a cache HIT must also raise, not
+    keep answering from the LRU (ADVICE r2)."""
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            return ["a" for _ in ds]
+
+    ocr = pd.DataFrame({"image_id": [1.0]})
+    eng = ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                        warmup=False, cache_size=4)
+    assert eng.answer(1.0, "q", timeout=30) == "a"
+    assert eng.answer(1.0, "q", timeout=30) == "a"  # now cached
+    eng.stop()
+    with pytest.raises(RuntimeError, match="engine stopped"):
+        eng.submit(1.0, "q")
+
+
 def test_stats_and_backpressure():
     """Stub executor: stats track served requests and latency percentiles;
     max_queue bounds admission with a loud error instead of unbounded
