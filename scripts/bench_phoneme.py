@@ -92,11 +92,30 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(abstract))
     log(f"host init + H2D: {time.perf_counter() - t0:.1f}s, params {n_params/1e6:.0f}M")
 
-    generate = make_multi_head_generate_fn(
-        model, max_length=MAX_LEN, num_components=3,
-        bos_id=pd_cfg.bos_id, eos_id=pd_cfg.eos_id, pad_id=pd_cfg.pad_id,
-        stop_component=0,
+    beam_k = int(os.environ.get("BENCH_PHONEME_BEAM", "0")) or (
+        int(sys.argv[sys.argv.index("--beam") + 1]) if "--beam" in sys.argv else 0
     )
+    if beam_k:
+        # the framework's novel decode: JOINT onset x rhyme x tone beam
+        # (semantics from the reference prototype
+        # `/root/reference/PhonoLaTr/ModelLaTr.py:260-388`, which never ran)
+        from phoneme_vqa_tpu.models.generate import make_multi_head_beam_generate_fn
+
+        generate = make_multi_head_beam_generate_fn(
+            model, max_length=MAX_LEN, num_beams=beam_k,
+            bos_id=pd_cfg.bos_id, eos_id=pd_cfg.eos_id, pad_id=pd_cfg.pad_id,
+            stop_component=0,
+        )
+        metric = f"phoneme_latr_joint_beam{beam_k}_samples_per_sec_per_chip"
+        label = f"PhonemeLaTr joint beam K={beam_k}"
+    else:
+        generate = make_multi_head_generate_fn(
+            model, max_length=MAX_LEN, num_components=3,
+            bos_id=pd_cfg.bos_id, eos_id=pd_cfg.eos_id, pad_id=pd_cfg.pad_id,
+            stop_component=0,
+        )
+        metric = "phoneme_latr_eval_decode_samples_per_sec_per_chip"
+        label = "PhonemeLaTr triple decode"
     iters = 8
     stacked = jax.device_put(jax.tree.map(lambda x: np.stack([x] * iters), batch))
 
@@ -118,10 +137,10 @@ def main():
         times.append(time.perf_counter() - t0)
     batch_ms = float(np.median(times)) / iters * 1e3
     sps = BATCH / (batch_ms / 1e3)
-    log(f"PhonemeLaTr triple decode: {sps:.1f} samples/s "
+    log(f"{label}: {sps:.1f} samples/s "
         f"(p50 {batch_ms:.1f} ms/batch of {BATCH}, len {MAX_LEN})")
     print(
-        '{"metric": "phoneme_latr_eval_decode_samples_per_sec_per_chip", '
+        f'{{"metric": "{metric}", '
         f'"value": {sps:.2f}, "unit": "samples/sec/chip", '
         f'"p50_batch_ms": {batch_ms:.2f}}}'
     )

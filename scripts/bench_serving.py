@@ -1,0 +1,194 @@
+"""Measured on-device serving benchmark (VERDICT r2 item 7).
+
+Drives the production `ServingEngine` on the REAL TPU at LaTr-base scale
+under an open-loop Poisson arrival process (requests fire on a wall-clock
+schedule regardless of completions — the honest serving load model), at
+three offered rates relative to the engine's measured flood capacity:
+
+    0.5x (under), 0.9x (near), 1.5x (over, bounded queue -> backpressure)
+
+and reports measured answers/sec, submit->answer latency p50/p95 (engine
+`/stats`), and the rejected-request count on the overload run (the
+HTTP 503 path in `serve.py`).
+
+Environment note: the sandbox tunnel adds ~28 ms per dispatched call and
+ships H2D at ~40 MB/s — at B=16 that is ~10 MB of pixel values per batch
+(~0.25 s) on top of the ~50 ms decode, so measured capacity here is
+tunnel-bound. The shape of the curve (latency flat under capacity, queueing
+blowup past it, 503s under overload) is the serving behavior under test; a
+real TPU host shifts all numbers up by the tunnel factor.
+
+Run: python scripts/bench_serving.py [--batch 16] [--duration 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+BASE_DIMS = dict(
+    t5_vocab_size=36096, d_model=768, d_kv=64, num_heads=12, d_ff=3072,
+    num_encoder_layers=12, num_t5_decoder_layers=12,
+    vit_image_size=224, vit_patch_size=16, vit_hidden_size=768,
+    vit_num_layers=12, vit_num_heads=12, vit_mlp_dim=3072,
+)
+
+
+def build_engine(work: str, batch: int, max_queue: int = 0):
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
+    from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
+    from phoneme_vqa_tpu.serving import ServingEngine
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    paths = make_latr_fixture(work, n_images=8, n_rows=16, image_hw=224)
+    yaml_path = tiny_latr_yaml(
+        paths, os.path.join(work, "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_ocr_element=100, max_ocr_length=100, max_q_length=30,
+        max_a_length=20, max_eval_length=20, DTYPE="bfloat16", NUMWORKERS=2,
+        **BASE_DIMS,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df = textlayout_ocr_adapt(paths["ocr"])
+    t0 = time.perf_counter()
+    eng = ServingEngine(
+        ex, ocr_df, batch_size=batch, max_wait_ms=30.0,
+        max_answer_length=20, warmup=True, max_queue=max_queue,
+    )
+    log(f"engine up (warmup compile {time.perf_counter() - t0:.1f}s)")
+    ids = sorted(eng._known_ids)
+    return eng, ids
+
+
+QUESTIONS = [
+    "cái gì màu đỏ", "quán tên gì", "mấy giờ mở cửa", "địa chỉ ở đâu",
+    "giá bao nhiêu", "số điện thoại là gì", "đây là đâu", "bảng ghi gì",
+]
+
+
+def flood_capacity(eng, ids, n: int = 96) -> float:
+    """Closed-loop flood: submit n requests at once, time to drain."""
+    t0 = time.perf_counter()
+    futs = [
+        eng.submit(ids[i % len(ids)], QUESTIONS[i % len(QUESTIONS)] + f" {i}")
+        for i in range(n)
+    ]
+    for f in futs:
+        f.result(timeout=600)
+    dt = time.perf_counter() - t0
+    cap = n / dt
+    log(f"flood capacity: {cap:.1f} answers/s ({n} in {dt:.1f}s)")
+    return cap
+
+
+def open_loop(eng, ids, rate: float, duration: float, seed: int = 0):
+    """Poisson arrivals at `rate` req/s for `duration` s; every request is
+    unique (cache-proof). Returns dict of measured stats."""
+    rng = random.Random(seed)
+    futs, rejects = [], 0
+    lock = threading.Lock()
+    t_end = time.monotonic() + duration
+    i = 0
+    while time.monotonic() < t_end:
+        time.sleep(rng.expovariate(rate))
+        try:
+            f = eng.submit(
+                ids[i % len(ids)], f"{QUESTIONS[i % len(QUESTIONS)]} #{i}"
+            )
+            with lock:
+                futs.append((time.monotonic(), f))
+        except (RuntimeError, KeyError):
+            rejects += 1
+        i += 1
+    done = 0
+    for _t_sub, f in futs:
+        try:
+            f.result(timeout=600)
+            done += 1
+        except Exception:
+            pass
+    # per-request latency percentiles come from the engine's own stats
+    # (tracked submit -> resolution), reported by the caller
+    return {
+        "offered_rate": round(rate, 1),
+        "submitted": len(futs),
+        "rejected": rejects,
+        "completed": done,
+        "achieved_rate": round(done / duration, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--work", default="/tmp/bench_serving")
+    args = p.parse_args()
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    log(f"devices: {jax.devices()}")
+
+    os.makedirs(args.work, exist_ok=True)
+    eng, ids = build_engine(args.work, args.batch)
+    cap = flood_capacity(eng, ids)
+
+    runs = []
+    for mult, label in ((0.5, "under"), (0.9, "near"), (1.5, "over")):
+        stats0 = eng.stats()
+        r = open_loop(eng, ids, rate=cap * mult, duration=args.duration,
+                      seed=int(mult * 10))
+        s = eng.stats()
+        r.update(
+            label=label,
+            p50_ms=s["p50_ms"], p95_ms=s["p95_ms"],
+            batches=s["batches"] - stats0["batches"],
+        )
+        runs.append(r)
+        log(f"{label}: {r}")
+
+    # overload with a bounded queue: the 503/backpressure path must fire
+    eng.stop()
+    eng2, ids = build_engine(args.work + "_bp", args.batch, max_queue=8)
+    r = open_loop(eng2, ids, rate=cap * 2.0, duration=min(args.duration, 15.0),
+                  seed=99)
+    s = eng2.stats()
+    r.update(label="overload_bounded_queue", p50_ms=s["p50_ms"], p95_ms=s["p95_ms"])
+    runs.append(r)
+    log(f"overload: {r}")
+    eng2.stop()
+
+    print(json.dumps({
+        "bench": "serving_open_loop",
+        "batch": args.batch,
+        "flood_capacity_answers_per_sec": round(cap, 1),
+        "runs": runs,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

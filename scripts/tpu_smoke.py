@@ -192,7 +192,7 @@ which bound this end-to-end number in the sandbox).
 - `ck/results.json` — {n_results} rows of `{{"gens": ..., "gts": ...}}`
   (reference schema `base_executor.py:158-161`).
 
-Raw logs: `/tmp/tpu_smoke/{{train,eval,predict}}.log`.
+Raw logs: `{args.work}/{{train,eval,predict}}.log`.
 """
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w", encoding="utf-8") as f:
