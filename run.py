@@ -33,10 +33,13 @@ def main():
 
     import jax
 
-    # Honor JAX_PLATFORMS even when a sitecustomize force-selected a backend
-    # at interpreter start (the axon TPU relay does this) — lets
-    # `JAX_PLATFORMS=cpu` drive the CLI on a virtual CPU mesh.
-    if os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS=cpu even when a sitecustomize force-selected a
+    # backend at interpreter start (the axon TPU relay does this) — lets
+    # `JAX_PLATFORMS=cpu` drive the CLI on a virtual CPU mesh. Only the cpu
+    # override is applied: the relay environment exports JAX_PLATFORMS with
+    # its own plugin name, which is not a backend this process can re-select
+    # by string (the plugin registers itself at interpreter start).
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from phoneme_vqa_tpu.parallel.multihost import maybe_initialize_distributed
 

@@ -45,7 +45,10 @@ BASE_DIMS = dict(
 
 def run_phase(name: str, cmd: list, log_path: str) -> tuple[float, str]:
     print(f"== {name}: {' '.join(cmd)}", flush=True)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # APPEND to PYTHONPATH: the TPU relay's sitecustomize rides on it
+    # (clobbering it silently drops the device plugin in the subprocess)
+    pp = os.pathsep.join(filter(None, [REPO, os.environ.get("PYTHONPATH")]))
+    env = dict(os.environ, PYTHONPATH=pp)
     t0 = time.perf_counter()
     r = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3600

@@ -29,7 +29,7 @@ import jax
 
 # Honor JAX_PLATFORMS even when a sitecustomize force-selected a backend
 # (same shim as run.py): lets `JAX_PLATFORMS=cpu` drive the server off-TPU.
-if os.environ.get("JAX_PLATFORMS"):
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from phoneme_vqa_tpu import registry_setup  # noqa: F401  (fills registries)

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from phoneme_vqa_tpu import registry_setup  # noqa: F401
