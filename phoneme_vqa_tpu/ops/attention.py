@@ -33,12 +33,16 @@ NEG_INF = -1e9
 FLASH_ENABLED = False
 _FLASH_MIN_QLEN = 16
 
-# The fused SaL-bias kernel (ops/sal_fused_attention.py) IS on by default:
-# unlike plain attention, the SaL path pays for a (B, H, L, L) f32 bias in
-# HBM that XLA re-reads every encoder layer — reconstructing it in-kernel
-# from the factored FusedSalBias removes that traffic entirely. Measured on
-# 1x TPU v5e at SaL-base shapes (B=32, H=12, L=336, bf16): see docs/DESIGN.md.
-SAL_FUSED_ENABLED = True
+# The fused SaL-bias kernel (ops/sal_fused_attention.py) rebuilds the
+# (B, H, L, L) bias inside the attention tile from small factors, removing
+# its HBM traffic. Measured on 1x TPU v5e (docs/DESIGN.md): time-NEUTRAL
+# end to end (56.0 vs 55.1 ms/batch at SaL-base B=32), and the round-3
+# batch-ceiling probe (`scripts/probe_sal_batch_ceiling.py`) found the SAME
+# max generate batch (512) for both paths — the claimed HBM headroom never
+# cashed into a real capability. Defaults follow measurements: OPT-IN via
+# `SAL_FUSED: true` (it remains fully tested, incl. a trained-weights
+# answer-agreement gate in test_sal_fused_attention.py).
+SAL_FUSED_ENABLED = False
 
 
 def enable_flash(enabled: bool = True) -> None:
