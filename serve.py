@@ -57,11 +57,23 @@ def parse_args():
                    help=">0 bounds pending requests (backpressure)")
     p.add_argument("--cache-size", type=int, default=0,
                    help=">0 memoizes repeated (image_id, question) answers (LRU)")
+    p.add_argument("--prime", action="store_true",
+                   help="warm up (compile the serve executable into the "
+                        "persistent compilation cache) and exit 0 — for "
+                        "baking cache-primed container images")
     return p.parse_args()
 
 
 def build_engine(args):
     config = get_config(args.config_file)
+    try:  # persistent XLA compilation cache: restarts skip the warmup compile
+        cache_dir = config.get("COMPILE_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     # serve mode: tokenizers + feature stores + model only — no QA CSVs
     # read, no eval dataset featurized at startup
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
@@ -152,6 +164,12 @@ def make_http_server(engine, port: int):
 def main():
     args = parse_args()
     engine = build_engine(args)
+    if args.prime:
+        # warmup already compiled the serve executable into the persistent
+        # cache during build_engine; nothing else to do
+        engine.stop()
+        log.info("## cache primed (serve executable compiled); exiting")
+        return
     if args.http is not None:
         import signal
 

@@ -543,3 +543,26 @@ def test_serve_cli_round_trip(tmp_path):
     out = [json.loads(l) for l in r.stdout.strip().splitlines() if l.strip()]
     assert {o["id"] for o in out} == set(range(len(qa)))
     assert all("answer" in o for o in out), out
+
+
+@pytest.mark.slow
+def test_serve_prime_exits_clean(tmp_path):
+    """`serve.py --prime` warms the serve executable (into the persistent
+    compilation cache) and exits 0 — the bake step for cache-primed
+    container images (docs/SERVING.md cold-start story)."""
+    import subprocess
+    import sys
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        COMPILE_CACHE_DIR=str(tmp_path / "cache"), max_eval_length=10,
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "serve.py"),
+         "--config-file", yaml_path, "--ckpt", "none", "--prime"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "cache primed" in (r.stdout + r.stderr)
