@@ -11,14 +11,34 @@ destination leaves keep their random init; a summary is logged.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..utils.logger import get_logger
+from .scan_utils import (
+    has_scanned_blocks,
+    stack_block_params,
+    unstack_block_params,
+)
 
 log = get_logger(__name__)
+
+
+def _scan_agnostic(fn):
+    """Accept the target param subtree in either layer layout (``SCAN_LAYERS``):
+    the by-name import walks ``block_{i}`` paths, so a scanned tree is
+    unstacked first and restacked after."""
+
+    @functools.wraps(fn)
+    def wrapped(params, *a, **kw):
+        if has_scanned_blocks(params):
+            return stack_block_params(fn(unstack_block_params(params), *a, **kw))
+        return fn(params, *a, **kw)
+
+    return wrapped
 
 
 @dataclasses.dataclass
@@ -116,6 +136,7 @@ def _t5_block_map(prefix: str, i: int, decoder: bool) -> Dict[str, str]:
     return m
 
 
+@_scan_agnostic
 def import_t5_params(
     t5_params: dict,
     sd: Dict[str, np.ndarray],
@@ -211,6 +232,7 @@ def import_t5_params(
     return out
 
 
+@_scan_agnostic
 def import_vit_params(
     vit_params: dict,
     sd: Dict[str, np.ndarray],
@@ -369,6 +391,7 @@ _SPATIAL_TABLE_ORDER = (
 )
 
 
+@_scan_agnostic
 def import_reference_state_dict(
     params: dict, sd: Dict[str, np.ndarray], report: ImportReport = None
 ) -> dict:

@@ -60,6 +60,7 @@ def t5_config_from_yaml(config) -> T5Config:
         dropout_rate=config.get("dropout_rate", 0.1),
         dtype=_dtype_of(config),
         remat=bool(config.get("REMAT", False)),
+        scan_layers=bool(config.get("SCAN_LAYERS", False)),
     )
 
 
@@ -72,6 +73,7 @@ def vit_config_from_yaml(config) -> ViTConfig:
         num_heads=config.get("vit_num_heads", 12),
         mlp_dim=config.get("vit_mlp_dim", 3072),
         dtype=_dtype_of(config),
+        scan_layers=bool(config.get("SCAN_LAYERS", False)),
     )
 
 

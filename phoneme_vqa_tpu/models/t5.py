@@ -60,6 +60,13 @@ class T5Config:
     # backward pass (YAML key ``REMAT``) — trades ~1/3 more FLOPs for O(layers)
     # less activation memory, the standard TPU lever for bigger train batches
     remat: bool = False
+    # compile the layer stack as ONE `lax.scan` over stacked block params
+    # (YAML key ``SCAN_LAYERS``) instead of unrolling num_layers copies of the
+    # block into the XLA program — XLA compiles the block body once, cutting
+    # cold-compile time roughly by the layer count at these depths. Changes
+    # the param tree layout: ``block_{i}/...`` -> ``blocks/...`` with a
+    # leading (num_layers,) axis on every leaf (see `scan_utils.stack_block_params`)
+    scan_layers: bool = False
 
     def replace(self, **kw) -> "T5Config":
         return dataclasses.replace(self, **kw)
@@ -240,6 +247,13 @@ class T5EncoderBlock(nn.Module):
         return x
 
 
+class _ScanEncoderBlock(T5EncoderBlock):
+    """`T5EncoderBlock` with the (carry, ys) signature `nn.scan` expects."""
+
+    def __call__(self, x, key_mask, bias, deterministic: bool = True):
+        return T5EncoderBlock.__call__(self, x, key_mask, bias, deterministic), None
+
+
 class T5Encoder(nn.Module):
     """Encoder stack over pre-computed input embeddings.
 
@@ -254,14 +268,29 @@ class T5Encoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.rel_bias = RelativeBias(cfg, bidirectional=True, name="rel_bias")
-        block_cls = (
-            nn.remat(T5EncoderBlock, static_argnums=(4,))
-            if cfg.remat
-            else T5EncoderBlock
-        )
-        self.blocks = [
-            block_cls(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
-        ]
+        if cfg.scan_layers:
+            # one compiled block body, lax.scan over (num_layers,)-stacked
+            # params; remat composes as scan-of-remat (prevent_cse=False —
+            # the scan boundary already blocks CSE, keeping it on costs perf)
+            base = _ScanEncoderBlock
+            if cfg.remat:
+                base = nn.remat(base, static_argnums=(4,), prevent_cse=False)
+            self.blocks = nn.scan(
+                base,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(cfg, name="blocks")
+        else:
+            block_cls = (
+                nn.remat(T5EncoderBlock, static_argnums=(4,))
+                if cfg.remat
+                else T5EncoderBlock
+            )
+            self.blocks = [
+                block_cls(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
+            ]
         self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")
 
     def __call__(
@@ -275,8 +304,11 @@ class T5Encoder(nn.Module):
         bias = self.rel_bias(l, l) if position_bias is None else position_bias
         key_mask = None if attention_mask is None else attention_mask.astype(bool)
         x = inputs_embeds.astype(self.cfg.dtype)
-        for block in self.blocks:
-            x = block(x, key_mask, bias, deterministic)
+        if self.cfg.scan_layers:
+            x, _ = self.blocks(x, key_mask, bias, deterministic)
+        else:
+            for block in self.blocks:
+                x = block(x, key_mask, bias, deterministic)
         return self.final_ln(x)
 
 
@@ -318,21 +350,68 @@ class T5DecoderBlock(nn.Module):
         return x, k_new, v_new
 
 
+class _ScanDecoderBlock(T5DecoderBlock):
+    """`T5DecoderBlock` with (carry, ys) signatures for each scanned method."""
+
+    def __call__(self, x, enc_out, enc_mask, self_mask, bias, deterministic=True):
+        return (
+            T5DecoderBlock.__call__(
+                self, x, enc_out, enc_mask, self_mask, bias, deterministic
+            ),
+            None,
+        )
+
+    def scan_step(self, x, cache_k, cache_v, cross_k, cross_v, index, bias_row,
+                  enc_mask):
+        x, k_new, v_new = T5DecoderBlock.step(
+            self, x, cache_k, cache_v, cross_k, cross_v, index, bias_row, enc_mask
+        )
+        return x, (k_new, v_new)
+
+    def scan_project_kv(self, carry, enc_out):
+        return carry, self.cross_attn.project_kv(enc_out)
+
+
 class T5Decoder(nn.Module):
     cfg: T5Config
 
     def setup(self):
         cfg = self.cfg
         self.rel_bias = RelativeBias(cfg, bidirectional=False, name="rel_bias")
-        block_cls = (
-            nn.remat(T5DecoderBlock, static_argnums=(6,))
-            if cfg.remat
-            else T5DecoderBlock
-        )
-        self.blocks = [
-            block_cls(cfg, name=f"block_{i}")
-            for i in range(cfg.num_decoder_layers)
-        ]
+        if cfg.scan_layers:
+            base = _ScanDecoderBlock
+            if cfg.remat:
+                # remat only the train forward; the decode-step methods are
+                # inference-only and inherit untransformed
+                base = nn.remat(base, static_argnums=(6,), prevent_cse=False)
+            axes = dict(variable_axes={"params": 0},
+                        split_rngs={"params": True, "dropout": True},
+                        length=cfg.num_decoder_layers)
+            self.blocks = nn.scan(
+                base,
+                methods={
+                    "__call__": dict(axes, in_axes=(nn.broadcast,) * 5),
+                    "scan_step": dict(
+                        axes,
+                        in_axes=(0, 0, 0, 0, nn.broadcast, nn.broadcast,
+                                 nn.broadcast),
+                        out_axes=0,
+                    ),
+                    "scan_project_kv": dict(
+                        axes, in_axes=(nn.broadcast,), out_axes=0
+                    ),
+                },
+            )(cfg, name="blocks")
+        else:
+            block_cls = (
+                nn.remat(T5DecoderBlock, static_argnums=(6,))
+                if cfg.remat
+                else T5DecoderBlock
+            )
+            self.blocks = [
+                block_cls(cfg, name=f"block_{i}")
+                for i in range(cfg.num_decoder_layers)
+            ]
         self.final_ln = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype, name="final_ln")
 
     def __call__(
@@ -348,8 +427,11 @@ class T5Decoder(nn.Module):
         enc_mask = None if enc_mask is None else enc_mask.astype(bool)
         dec_mask = None if dec_mask is None else dec_mask.astype(bool)
         x = dec_embeds.astype(self.cfg.dtype)
-        for block in self.blocks:
-            x = block(x, enc_out, enc_mask, dec_mask, bias, deterministic)
+        if self.cfg.scan_layers:
+            x, _ = self.blocks(x, enc_out, enc_mask, dec_mask, bias, deterministic)
+        else:
+            for block in self.blocks:
+                x = block(x, enc_out, enc_mask, dec_mask, bias, deterministic)
         return self.final_ln(x)
 
     # -- incremental decode --------------------------------------------------
@@ -361,12 +443,16 @@ class T5Decoder(nn.Module):
         relative bias table (sliced per step)."""
         cfg = self.cfg
         b = enc_out.shape[0]
-        n_layers = len(self.blocks)
-        cks, cvs = [], []
-        for block in self.blocks:
-            ck, cv = block.cross_attn.project_kv(enc_out)
-            cks.append(ck)
-            cvs.append(cv)
+        n_layers = cfg.num_decoder_layers
+        if cfg.scan_layers:
+            _, (ck, cv) = self.blocks.scan_project_kv((), enc_out)
+        else:
+            cks, cvs = [], []
+            for block in self.blocks:
+                k, v = block.cross_attn.project_kv(enc_out)
+                cks.append(k)
+                cvs.append(v)
+            ck, cv = jnp.stack(cks), jnp.stack(cvs)
         cache = {
             "k": jnp.zeros(
                 (n_layers, b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype
@@ -374,8 +460,8 @@ class T5Decoder(nn.Module):
             "v": jnp.zeros(
                 (n_layers, b, cfg.num_heads, max_len, cfg.d_kv), cfg.dtype
             ),
-            "ck": jnp.stack(cks),
-            "cv": jnp.stack(cvs),
+            "ck": ck,
+            "cv": cv,
         }
         full_bias = self.rel_bias(max_len, max_len)  # (1, H, T, T)
         return cache, full_bias
@@ -394,20 +480,27 @@ class T5Decoder(nn.Module):
         )
         enc_mask = None if enc_mask is None else enc_mask.astype(bool)
         x = tok_embed.astype(self.cfg.dtype)
-        k_news, v_news = [], []
-        for l, block in enumerate(self.blocks):
-            x, k_new, v_new = block.step(
-                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+        if self.cfg.scan_layers:
+            x, (k_news, v_news) = self.blocks.scan_step(
+                x, cache["k"], cache["v"], cache["ck"], cache["cv"],
                 index, bias_row, enc_mask,
-            )
-            k_news.append(k_new)
-            v_news.append(v_new)
+            )  # k/v_news: (L, B, H, 1, d), already stacked by the scan
+        else:
+            k_list, v_list = [], []
+            for l, block in enumerate(self.blocks):
+                x, k_new, v_new = block.step(
+                    x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                    index, bias_row, enc_mask,
+                )
+                k_list.append(k_new)
+                v_list.append(v_new)
+            k_news, v_news = jnp.stack(k_list), jnp.stack(v_list)
         # two stacked cache writes per step (instead of 2 per layer)
         new_k = jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(k_news), (0, 0, 0, index, 0)
+            cache["k"], k_news, (0, 0, 0, index, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(v_news), (0, 0, 0, index, 0)
+            cache["v"], v_news, (0, 0, 0, index, 0)
         )
         cache = dict(cache, k=new_k, v=new_v)
         return self.final_ln(x), cache

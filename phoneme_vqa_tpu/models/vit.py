@@ -31,6 +31,9 @@ class ViTConfig:
     mlp_dim: int = 3072
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.bfloat16
+    # compile the 12 blocks as ONE lax.scan over stacked params (YAML key
+    # ``SCAN_LAYERS``, shared with the T5 stacks) — see `t5.T5Config.scan_layers`
+    scan_layers: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -85,6 +88,13 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class _ScanViTBlock(ViTBlock):
+    """`ViTBlock` with the (carry, ys) signature `nn.scan` expects."""
+
+    def __call__(self, x):
+        return ViTBlock.__call__(self, x), None
+
+
 class ViT(nn.Module):
     cfg: ViTConfig
 
@@ -117,8 +127,16 @@ class ViT(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(cfg.dtype)
-        for i in range(cfg.num_layers):
-            x = ViTBlock(cfg, name=f"block_{i}")(x)
+        if cfg.scan_layers:
+            x, _ = nn.scan(
+                _ScanViTBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )(cfg, name="blocks")(x)
+        else:
+            for i in range(cfg.num_layers):
+                x = ViTBlock(cfg, name=f"block_{i}")(x)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, param_dtype=jnp.float32, name="final_ln"
         )(x)

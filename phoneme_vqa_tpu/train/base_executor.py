@@ -334,6 +334,18 @@ class BaseExecutor:
             if "params" not in raw:
                 return False
             params = jax.tree.map(np.asarray, raw["params"])
+            # checkpoint saved under the other SCAN_LAYERS layout: convert
+            # (block_{i} <-> stacked blocks) instead of discarding the run
+            from ..models.scan_utils import (
+                has_scanned_blocks, stack_block_params, unstack_block_params,
+            )
+            ours_scanned = has_scanned_blocks(self.state.params)
+            if ours_scanned != has_scanned_blocks(params):
+                params = (
+                    stack_block_params(params)
+                    if ours_scanned
+                    else unstack_block_params(params)
+                )
             ours = jax.tree.leaves(self.state.params)
             theirs = jax.tree.leaves(params)
             if len(ours) != len(theirs) or any(
