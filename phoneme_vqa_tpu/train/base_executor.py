@@ -432,6 +432,53 @@ class BaseExecutor:
     def _loss_pad_id(self) -> int:
         return self.tokenizer.pad_token_id
 
+    def _grad_accum_steps(self) -> int:
+        """``GRAD_ACCUM_STEPS: N`` splits each global batch into N sequential
+        microbatches inside ONE jitted step (`lax.scan`), accumulating grads
+        and applying a single optimizer update — activation memory drops to
+        ~1/N so the effective batch can grow past the HBM ceiling. Loss/grads
+        are the mean over microbatches (each microbatch's masked-mean CE
+        weighted equally — exact when microbatch token counts match)."""
+        accum = int(self.config.get("GRAD_ACCUM_STEPS", 1) or 1)
+        bs = int(self.config.TRAIN_BATCH_SIZE)
+        if accum > 1 and bs % accum:
+            raise ValueError(
+                f"GRAD_ACCUM_STEPS={accum} must divide TRAIN_BATCH_SIZE={bs}: "
+                "each microbatch is batch/accum rows"
+            )
+        return accum
+
+    def _value_and_grad_accum(self, params, batch, dropout_rng, accum: int):
+        """(loss, grads) of the batch — direct, or accumulated over `accum`
+        microbatches without materializing the full-batch activations."""
+        if accum <= 1:
+            return jax.value_and_grad(self._loss_from_batch)(
+                params, batch, dropout_rng
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch,
+        )
+
+        def body(carry, mb):
+            g_acc, l_acc, i = carry
+            rng = (
+                None if dropout_rng is None
+                else jax.random.fold_in(dropout_rng, i)
+            )
+            loss, grads = jax.value_and_grad(self._loss_from_batch)(
+                params, mb, rng
+            )
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss, i + 1), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss, _), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.int32(0)), micro
+        )
+        inv = 1.0 / accum
+        return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
     def _make_train_step(self):
         import functools
 
@@ -439,12 +486,13 @@ class BaseExecutor:
 
         tx = self.tx
         base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
+        accum = self._grad_accum_steps()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
             dropout_rng = jax.random.fold_in(base_rng, state.step)
-            loss, grads = jax.value_and_grad(self._loss_from_batch)(
-                state.params, batch, dropout_rng
+            loss, grads = self._value_and_grad_accum(
+                state.params, batch, dropout_rng, accum
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

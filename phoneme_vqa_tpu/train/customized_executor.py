@@ -123,12 +123,13 @@ class _CustomizedMixin:
         tx = self.tx
         freeze_subtrees = self.FREEZE_SUBTREES
         base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
+        accum = self._grad_accum_steps()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch, encoder_lr_scale):
             dropout_rng = jax.random.fold_in(base_rng, state.step)
-            loss, grads = jax.value_and_grad(self._loss_from_batch)(
-                state.params, batch, dropout_rng
+            loss, grads = self._value_and_grad_accum(
+                state.params, batch, dropout_rng, accum
             )
             for name in freeze_subtrees:
                 if name in grads:
