@@ -119,6 +119,8 @@ class CustomizedSaL_config:
 class _CustomDecodeMixin:
     """Replaces the T5 decoder with the custom decoder uniformly."""
 
+    spec_decode_supported = False  # decode cache is the custom decoder's
+
     def _setup_decoder(self):
         self.decoder = CustomDecoder(self.cfg.decoder, name="decoder")
 

@@ -36,6 +36,80 @@ def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=No
     return generate
 
 
+def make_speculative_generate_fn(
+    model, max_length: int, spec_k: int, bos_id=None, eos_id=None, pad_id=None
+):
+    """Greedy generation with OCR prompt-lookup speculative decoding
+    (``SPEC_DECODE: K``): token-for-token identical output to
+    `make_generate_fn`, fewer sequential decode steps when the answer copies
+    source text. Requires the stock-T5-decoder families
+    (``model.spec_decode_supported``)."""
+    from ..decode.speculative import (
+        make_prompt_lookup_draft,
+        speculative_greedy_decode,
+    )
+
+    if not getattr(type(model), "spec_decode_supported", False):
+        raise ValueError(
+            f"{type(model).__name__} uses a custom decoder cache — "
+            "SPEC_DECODE supports the stock T5-decoder families"
+        )
+    t5c = model.cfg.t5
+    bos = t5c.decoder_start_token_id if bos_id is None else bos_id
+    eos = t5c.eos_token_id if eos_id is None else eos_id
+    pad = t5c.pad_token_id if pad_id is None else pad_id
+
+    # (ids key, mask key) pairs drafts may copy from, concatenated;
+    # an explicit ``spec_source_ids`` batch key overrides them (callers can
+    # scope the lookup corpus without touching the encoder inputs)
+    SOURCES = (
+        ("spec_source_ids", "spec_source_mask"),
+        ("tokenized_ocr", "ocr_attention_mask"),
+        ("input_ids", "src_attention_mask"),
+    )
+
+    def generate(params, batch):
+        import jax.numpy as jnp
+
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+        if "spec_source_ids" in batch:
+            parts = [(batch["spec_source_ids"], batch.get("spec_source_mask"))]
+        else:
+            parts = [
+                (batch[k], batch.get(m)) for k, m in SOURCES[1:] if k in batch
+            ]
+        if not parts:
+            raise ValueError(
+                "SPEC_DECODE needs source token ids in the batch "
+                f"(one of {[k for k, _ in SOURCES]})"
+            )
+        source = jnp.concatenate([p for p, _ in parts], axis=1)
+        mask = jnp.concatenate(
+            [
+                (jnp.ones_like(p) if m is None else m)
+                for p, m in parts
+            ],
+            axis=1,
+        )
+        draft = make_prompt_lookup_draft(source, spec_k - 1, pad, mask)
+
+        def step_k(tokens, cache, pos):
+            return model.apply(
+                {"params": params}, tokens, cache, pos, full_bias, enc_mask,
+                method=type(model).decode_step_k,
+            )
+
+        return speculative_greedy_decode(
+            step_k, draft, cache, enc_mask.shape[0], max_length, spec_k,
+            bos, eos, pad,
+        )
+
+    return generate
+
+
 def make_beam_generate_fn(
     model, max_length: int, num_beams: int, bos_id=None, eos_id=None, pad_id=None
 ):

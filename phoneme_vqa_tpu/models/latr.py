@@ -94,6 +94,9 @@ class FusionModel(nn.Module):
     """Shared skeleton: fuse modalities -> T5 encode -> T5 decode/generate."""
 
     cfg: LaTrConfig
+    # families whose decode cache is the stock T5 decoder's support the
+    # K-token speculative verification step; custom-decoder mixins flip this
+    spec_decode_supported = True
 
     def _vit_features(self, pixel_values):
         img_feat = self.vit(pixel_values)
@@ -119,6 +122,9 @@ class FusionModel(nn.Module):
 
     def decode_step(self, tokens, cache, index, full_bias, enc_mask):
         return self.t5.decode_step(tokens, cache, index, full_bias, enc_mask)
+
+    def decode_step_k(self, tokens, cache, pos, full_bias, enc_mask):
+        return self.t5.decode_step_k(tokens, cache, pos, full_bias, enc_mask)
 
 
 @MODELS.register("LaTr")

@@ -202,6 +202,8 @@ def phoneme_decoder_from_yaml(config, t5, onset_vocab, rhyme_vocab, tone_vocab,
 class _PhonemeTripleMixin:
     """Triple-decoder plumbing over any fusion encoder."""
 
+    spec_decode_supported = False  # decode cache is the triple decoder's
+
     def _setup_decoder(self):
         self.decoder = PhonemeTripleDecoder(self.cfg.phoneme_decoder, name="decoder")
 

@@ -200,6 +200,63 @@ class T5Attention(nn.Module):
         out = dot_product_attention(q, cached_k, cached_v, key_mask=key_mask)
         return self.o(self._merge(out))
 
+    def step_k(
+        self,
+        x: jnp.ndarray,  # (B, K, D) — K consecutive tokens per row
+        cache_k: jnp.ndarray,  # (B, H, T, d) — stale at >= per-row `pos`
+        cache_v: jnp.ndarray,
+        pos: jnp.ndarray,  # (B,) int32: per-row window start position
+        bias_rows: Optional[jnp.ndarray] = None,  # (B, H, K, T)
+    ):
+        """K-token self-attention decode step (speculative verification).
+
+        Generalizes `step` to a window of K tokens starting at a PER-ROW
+        position: queries attend the cache strictly before their row's
+        window plus a causal (K, K) in-window block computed analytically —
+        no cache buffer is touched here (the caller scatters all layers'
+        window K/V in one write, as the 1-token path does).
+        Returns (attn_out (B, K, D), k_new, v_new (B, H, K, d))."""
+        q = self._split(self.q(x))  # (B, H, K, d)
+        k_new = self._split(self.k(x))
+        v_new = self._split(self.v(x))
+        b, h, kk, _ = q.shape
+        t = cache_k.shape[2]
+
+        logits_cache = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+        )  # (B, H, K, T)
+        logits_win = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_new, preferred_element_type=jnp.float32
+        )  # (B, H, K, K)
+        if bias_rows is not None:
+            logits_cache = logits_cache + bias_rows.astype(jnp.float32)
+            # in-window bias: columns of bias_rows at the window's absolute
+            # key positions pos+m — clamped at the buffer end (an OOB gather
+            # fills NaN, and 0-prob × NaN would poison every query's output;
+            # clamped columns belong to never-accepted window tails only)
+            win_cols = pos[:, None, None, None] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, kk), 3
+            )  # (B, 1, 1, K)
+            win_cols = jnp.minimum(win_cols, t - 1)
+            win_bias = jnp.take_along_axis(
+                bias_rows, jnp.broadcast_to(win_cols, (b, h, kk, kk)), axis=-1
+            )
+            logits_win = logits_win + win_bias.astype(jnp.float32)
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        keep_cache = tpos < pos[:, None, None, None]  # strictly before window
+        logits_cache = jnp.where(keep_cache, logits_cache, -1e9)
+        jq = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 0)
+        jk = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 1)
+        logits_win = jnp.where(jk <= jq, logits_win, -1e9)
+
+        joint = jnp.concatenate([logits_cache, logits_win], axis=-1)
+        probs = jax.nn.softmax(joint, axis=-1).astype(cache_v.dtype)
+        p_cache, p_win = probs[..., :t], probs[..., t:]
+        out = jnp.einsum("bhqk,bhkd->bhqd", p_cache, cache_v) + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_win, v_new
+        )
+        return self.o(self._merge(out)), k_new, v_new
+
 
 class RelativeBias(nn.Module):
     cfg: T5Config
@@ -349,6 +406,18 @@ class T5DecoderBlock(nn.Module):
         x = x + self.ffn(self.ln2(x))
         return x, k_new, v_new
 
+    def step_k(self, x, cache_k, cache_v, cross_k, cross_v, pos, bias_rows,
+               enc_mask):
+        """K-token decode step at per-row positions (speculative decoding);
+        cross_step is position-free so it serves the K-query window as-is."""
+        h, k_new, v_new = self.self_attn.step_k(
+            self.ln0(x), cache_k, cache_v, pos, bias_rows
+        )
+        x = x + h
+        x = x + self.cross_attn.cross_step(self.ln1(x), cross_k, cross_v, enc_mask)
+        x = x + self.ffn(self.ln2(x))
+        return x, k_new, v_new
+
 
 class _ScanDecoderBlock(T5DecoderBlock):
     """`T5DecoderBlock` with (carry, ys) signatures for each scanned method."""
@@ -365,6 +434,13 @@ class _ScanDecoderBlock(T5DecoderBlock):
                   enc_mask):
         x, k_new, v_new = T5DecoderBlock.step(
             self, x, cache_k, cache_v, cross_k, cross_v, index, bias_row, enc_mask
+        )
+        return x, (k_new, v_new)
+
+    def scan_step_k(self, x, cache_k, cache_v, cross_k, cross_v, pos,
+                    bias_rows, enc_mask):
+        x, k_new, v_new = T5DecoderBlock.step_k(
+            self, x, cache_k, cache_v, cross_k, cross_v, pos, bias_rows, enc_mask
         )
         return x, (k_new, v_new)
 
@@ -392,6 +468,12 @@ class T5Decoder(nn.Module):
                 methods={
                     "__call__": dict(axes, in_axes=(nn.broadcast,) * 5),
                     "scan_step": dict(
+                        axes,
+                        in_axes=(0, 0, 0, 0, nn.broadcast, nn.broadcast,
+                                 nn.broadcast),
+                        out_axes=0,
+                    ),
+                    "scan_step_k": dict(
                         axes,
                         in_axes=(0, 0, 0, 0, nn.broadcast, nn.broadcast,
                                  nn.broadcast),
@@ -505,6 +587,62 @@ class T5Decoder(nn.Module):
         cache = dict(cache, k=new_k, v=new_v)
         return self.final_ln(x), cache
 
+    def step_k(
+        self,
+        tok_embeds: jnp.ndarray,  # (B, K, D)
+        cache,
+        pos: jnp.ndarray,  # (B,) int32: per-row window start
+        full_bias: jnp.ndarray,  # (1, H, T, T)
+        enc_mask: Optional[jnp.ndarray] = None,
+    ):
+        """K-token decode step at PER-ROW positions (speculative decoding).
+
+        Rows advance at different rates during speculative decode, so the
+        scalar `index` of `step` becomes a (B,) vector: the relative-bias
+        rows are gathered per row and the window K/V are scattered into the
+        stacked cache with a one-hot merge over the (small) time axis —
+        still exactly two cache writes per step for all layers."""
+        t = full_bias.shape[-1]
+        kk = tok_embeds.shape[1]
+        h = full_bias.shape[1]
+        b = tok_embeds.shape[0]
+        qpos = pos[:, None] + jnp.arange(kk, dtype=pos.dtype)[None, :]  # (B,K)
+        qpos = jnp.minimum(qpos, t - 1)
+        # bias_rows[b, :, j, :] = full_bias[0, :, pos_b + j, :]
+        bias_rows = jnp.take(
+            full_bias[0], qpos.reshape(-1), axis=1
+        ).reshape(h, b, kk, t).transpose(1, 0, 2, 3)
+        enc_mask = None if enc_mask is None else enc_mask.astype(bool)
+        x = tok_embeds.astype(self.cfg.dtype)
+        if self.cfg.scan_layers:
+            x, (k_news, v_news) = self.blocks.scan_step_k(
+                x, cache["k"], cache["v"], cache["ck"], cache["cv"],
+                pos, bias_rows, enc_mask,
+            )  # (L, B, H, K, d)
+        else:
+            k_list, v_list = [], []
+            for l, block in enumerate(self.blocks):
+                x, k_new, v_new = block.step_k(
+                    x, cache["k"][l], cache["v"][l], cache["ck"][l],
+                    cache["cv"][l], pos, bias_rows, enc_mask,
+                )
+                k_list.append(k_new)
+                v_list.append(v_new)
+            k_news, v_news = jnp.stack(k_list), jnp.stack(v_list)
+        # scatter the window K/V at per-row positions: onehot[b, t, j]
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
+        onehot = (tpos == qpos[:, None, :]).astype(cache["k"].dtype)  # (B,T,K)
+        in_window = jnp.minimum(onehot.sum(-1), 1.0)  # (B, T)
+        keep_old = (1.0 - in_window)[None, :, None, :, None]
+        new_k = cache["k"] * keep_old + jnp.einsum(
+            "btj,lbhjd->lbhtd", onehot, k_news
+        )
+        new_v = cache["v"] * keep_old + jnp.einsum(
+            "btj,lbhjd->lbhtd", onehot, v_news
+        )
+        cache = dict(cache, k=new_k, v=new_v)
+        return self.final_ln(x), cache
+
 
 class T5(nn.Module):
     """Full encoder-decoder with shared token embedding and LM head."""
@@ -571,3 +709,10 @@ class T5(nn.Module):
         tok = self.embed(token_ids[:, None])
         hidden, cache = self.decoder.step(tok, cache, index, full_bias, enc_mask)
         return self.lm_logits(hidden)[:, 0], cache
+
+    def decode_step_k(self, token_ids, cache, pos, full_bias, enc_mask=None):
+        """K-token decode step at per-row positions (speculative decoding):
+        token_ids (B, K) -> ((B, K, V) f32 logits, new cache)."""
+        tok = self.embed(token_ids)
+        hidden, cache = self.decoder.step_k(tok, cache, pos, full_bias, enc_mask)
+        return self.lm_logits(hidden), cache

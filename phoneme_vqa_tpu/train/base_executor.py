@@ -487,6 +487,14 @@ class BaseExecutor:
         tx = self.tx
         base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
         accum = self._grad_accum_steps()
+        if self.config.get("SCAN_LAYERS") and not self.config.get("REMAT"):
+            # measured on v5e (docs/DESIGN.md): the scanned train backward
+            # saves every block's activations and OOMs at base scale B=32
+            log.warning(
+                "(!) SCAN_LAYERS training without REMAT keeps all per-layer "
+                "activations alive through the scan backward — expect OOM at "
+                "production scale; set REMAT: true (measured faster anyway)"
+            )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
@@ -559,8 +567,19 @@ class BaseExecutor:
         return total / max(it, 1)
 
     def _build_generate_fn(self, max_length: int):
-        from ..models.generate import make_generate_fn
+        from ..models.generate import make_generate_fn, make_speculative_generate_fn
 
+        spec_k = int(self.config.get("SPEC_DECODE", 0) or 0)
+        if spec_k > 1:
+            if not getattr(type(self.model), "spec_decode_supported", False):
+                log.warning(
+                    f"(!) SPEC_DECODE={spec_k} ignored: "
+                    f"{type(self.model).__name__} uses a custom decoder cache"
+                )
+            else:
+                return jax.jit(
+                    make_speculative_generate_fn(self.model, max_length, spec_k)
+                )
         return jax.jit(make_generate_fn(self.model, max_length))
 
     def _get_generate_fn(self, max_length: int):

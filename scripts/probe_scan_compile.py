@@ -91,7 +91,7 @@ def steady_ms(compiled, *args, n=6):
     return float(np.median(times) * 1000)
 
 
-def probe(scan: bool):
+def probe(scan: bool, skip_eval: bool = False, remats=(False,)):
     tag = "scanned " if scan else "unrolled"
     cfg = LaTr_config().build(
         Config(
@@ -106,85 +106,112 @@ def probe(scan: bool):
 
     out = {"scan": scan}
 
-    # -- eval decode program, batches scanned inside one jit (as bench.py) --
-    stacked = jax.device_put(
-        jax.tree.map(lambda x: np.stack([x] * ITERS), batch)
-    )
+    if not skip_eval:
+        # -- eval decode program, batches scanned inside one jit (bench.py) --
+        stacked = jax.device_put(
+            jax.tree.map(lambda x: np.stack([x] * ITERS), batch)
+        )
 
-    @jax.jit
-    def run_many(params, stacked):
-        def body(_, b):
-            return None, generate(params, b)
+        @jax.jit
+        def run_many(params, stacked):
+            def body(_, b):
+                return None, generate(params, b)
 
-        return jax.lax.scan(body, None, stacked)[1]
+            return jax.lax.scan(body, None, stacked)[1]
 
-    t_lower, t_compile, compiled = time_compile(run_many, params, stacked)
-    ms = steady_ms(compiled, params, stacked) / ITERS
-    log(f"{tag} eval B={BATCH}: lower {t_lower:.1f}s compile {t_compile:.1f}s "
-        f"p50 {ms:.1f} ms/batch")
-    out["eval_lower_s"], out["eval_compile_s"], out["eval_ms"] = (
-        round(t_lower, 1), round(t_compile, 1), round(ms, 1),
-    )
+        t_lower, t_compile, compiled = time_compile(run_many, params, stacked)
+        ms = steady_ms(compiled, params, stacked) / ITERS
+        log(f"{tag} eval B={BATCH}: lower {t_lower:.1f}s compile "
+            f"{t_compile:.1f}s p50 {ms:.1f} ms/batch")
+        out["eval_lower_s"], out["eval_compile_s"], out["eval_ms"] = (
+            round(t_lower, 1), round(t_compile, 1), round(ms, 1),
+        )
 
-    # -- B=1 latency path (the serving cold-start program) --
-    b1 = {k: v[:1] for k, v in batch.items()}
-    jitted_b1 = jax.jit(generate)
-    t_lower, t_compile, compiled = time_compile(jitted_b1, params, b1)
-    ms = steady_ms(compiled, params, b1)
-    log(f"{tag} eval B=1:  lower {t_lower:.1f}s compile {t_compile:.1f}s "
-        f"p50 {ms:.1f} ms")
-    out["b1_lower_s"], out["b1_compile_s"], out["b1_ms"] = (
-        round(t_lower, 1), round(t_compile, 1), round(ms, 1),
-    )
+        # -- B=1 latency path (the serving cold-start program) --
+        b1 = {k: v[:1] for k, v in batch.items()}
+        jitted_b1 = jax.jit(generate)
+        t_lower, t_compile, compiled = time_compile(jitted_b1, params, b1)
+        ms = steady_ms(compiled, params, b1)
+        log(f"{tag} eval B=1:  lower {t_lower:.1f}s compile {t_compile:.1f}s "
+            f"p50 {ms:.1f} ms")
+        out["b1_lower_s"], out["b1_compile_s"], out["b1_ms"] = (
+            round(t_lower, 1), round(t_compile, 1), round(ms, 1),
+        )
 
     # -- adam train step (teacher-forced CE, frozen ViT as the reference) --
     labels = rng.randint(3, VOCAB, (BATCH, L_A)).astype(np.int32)
     lmask = np.ones((BATCH, L_A), np.int32)
-    tx = optax.adam(5e-5)
-    f32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
-    opt_state = jax.jit(tx.init)(f32)
-
-    def loss_fn(p, batch, labels, lmask):
-        logits = model.apply(
-            {"params": p}, batch, labels, lmask, False,
-            rngs={"dropout": jax.random.PRNGKey(0)},
+    for remat in remats:
+        rtag = "+remat" if remat else "      "
+        rcfg = LaTr_config().build(
+            Config({"t5_vocab_size": VOCAB, "DTYPE": "bfloat16",
+                    "SCAN_LAYERS": scan, "REMAT": remat})
         )
-        lb = jnp.asarray(labels)
-        ll = jax.nn.log_softmax(logits, -1)
-        nll = -jnp.take_along_axis(ll, lb[..., None], -1)[..., 0]
-        return jnp.sum(nll * lmask) / jnp.sum(lmask)
+        rmodel = LaTr(rcfg)
+        tx = optax.adam(5e-5)
+        f32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        opt_state = jax.jit(tx.init)(f32)
 
-    @jax.jit
-    def train_step(p, opt_state, batch, labels, lmask):
-        loss, grads = jax.value_and_grad(loss_fn)(p, batch, labels, lmask)
-        updates, opt_state = tx.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state, loss
+        def loss_fn(p, batch, labels, lmask):
+            logits = rmodel.apply(
+                {"params": p}, batch, labels, lmask, False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            lb = jnp.asarray(labels)
+            ll = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(ll, lb[..., None], -1)[..., 0]
+            return jnp.sum(nll * lmask) / jnp.sum(lmask)
 
-    dbatch = jax.device_put(batch)
-    t_lower, t_compile, compiled = time_compile(
-        train_step, f32, opt_state, dbatch, labels, lmask
-    )
-    t0 = time.perf_counter()
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        f32, opt_state, loss = compiled(f32, opt_state, dbatch, labels, lmask)
-        np.asarray(loss)
-        times.append(time.perf_counter() - t0)
-    ms = float(np.median(times) * 1000)
-    log(f"{tag} train B={BATCH}: lower {t_lower:.1f}s compile {t_compile:.1f}s "
-        f"p50 {ms:.1f} ms/step")
-    out["train_lower_s"], out["train_compile_s"], out["train_ms"] = (
-        round(t_lower, 1), round(t_compile, 1), round(ms, 1),
-    )
+        @jax.jit
+        def train_step(p, opt_state, batch, labels, lmask):
+            loss, grads = jax.value_and_grad(loss_fn)(p, batch, labels, lmask)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        dbatch = jax.device_put(batch)
+        key = "train_remat" if remat else "train"
+        try:
+            t_lower, t_compile, compiled = time_compile(
+                train_step, f32, opt_state, dbatch, labels, lmask
+            )
+        except Exception as e:  # XLA OOM surfaces as JaxRuntimeError
+            msg = "OOM" if "memory" in str(e).lower() else repr(e)[:80]
+            log(f"{tag} train{rtag} B={BATCH}: compile failed: {msg}")
+            out[key] = msg
+            continue
+        times = []
+        state = (f32, opt_state)
+        for _ in range(4):
+            t0 = time.perf_counter()
+            p_new, o_new, loss = compiled(
+                state[0], state[1], dbatch, labels, lmask
+            )
+            np.asarray(loss)
+            state = (p_new, o_new)
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times) * 1000)
+        log(f"{tag} train{rtag} B={BATCH}: lower {t_lower:.1f}s compile "
+            f"{t_compile:.1f}s p50 {ms:.1f} ms/step")
+        out[f"{key}_lower_s"] = round(t_lower, 1)
+        out[f"{key}_compile_s"] = round(t_compile, 1)
+        out[f"{key}_ms"] = round(ms, 1)
     return out
 
 
 def main():
-    log(f"devices: {jax.devices()}")
-    rows = [probe(scan) for scan in (False, True)]
     import json
 
+    log(f"devices: {jax.devices()}")
+    skip_eval = "--train-only" in sys.argv
+    remats = (False,)
+    if "--remat" in sys.argv:
+        remats = (False, True)
+    elif "--remat-only" in sys.argv:
+        remats = (True,)
+    rows = [
+        probe(scan, skip_eval=skip_eval, remats=remats)
+        for scan in (False, True)
+    ]
     print(json.dumps(rows))
 
 
