@@ -5,15 +5,21 @@ Measures the production speculative path end-to-end at LaTr base scale
 question, K-token verification, per-row advance) in the two regimes that
 bound real behavior:
 
-* copy  — the answer's tokens appear verbatim in the OCR input (the
-  scene-text VQA regime the feature targets: the greedy output is planted
-  into each row's `tokenized_ocr`, so the production draft finds it by
-  n-gram lookup and acceptance is high END-TO-END through the real loop)
-* nocopy — the OCR shares nothing with the answer: every draft verify-fails
-  and the loop degrades to greedy one-token trips (the overhead bound)
+* copy  — the answer's tokens appear verbatim in the draft-lookup corpus
+  (the scene-text VQA regime the feature targets): the model's own output
+  is planted into `spec_source_ids` (self-consistent fixpoint, two planting
+  iterations), so the production n-gram lookup drafts correctly and
+  acceptance is high END-TO-END through the real loop
+* nocopy — the corpus is empty (all-masked): every draft verify-fails and
+  the loop degrades to greedy one-token trips (the overhead bound)
 
-Exactness (speculative ids == greedy ids) is asserted on-device for every
-cell. Run: ``python scripts/bench_speculative.py [--batch 32]``.
+Exactness note: on CPU/f32 the speculative ids are asserted token-for-token
+equal to plain greedy (tests/test_speculative.py). On TPU bf16 the K-token
+verification sums attention in a different order than the 1-token step, so
+near-tied random-init logits can flip — the bench therefore reports the
+token-agreement fraction vs plain greedy (same caveat class as the fused
+SaL kernel's random-init number, docs/DESIGN.md).
+Run: ``python scripts/bench_speculative.py [--batch 32]``.
 """
 
 from __future__ import annotations
@@ -117,44 +123,61 @@ def main():
     log("plain greedy:")
     base_ms, base_ids = timed(plain, params, stacked)
     log(f"plain greedy p50: {base_ms:.1f} ms/batch")
+    ref = np.asarray(base_ids)[0]  # (B, T)
 
-    # -- copy regime: the answer's tokens are present in the draft-lookup
-    # corpus (`spec_source_ids` — the encoder inputs stay untouched, so the
-    # greedy output is unchanged and exactness stays checkable). This is the
-    # scene-text copy case flowing through the production n-gram lookup.
-    ids0 = np.asarray(base_ids)[0]  # (B, T) one batch's greedy output
-    copy_batch = dict(batch)
-    src = np.full((batch_size, L_OCR), 0, np.int32)
-    src[:, : MAX_EVAL_LEN - 1] = ids0[:, 1:]
-    copy_batch["spec_source_ids"] = src
-    copy_batch["spec_source_mask"] = (src != 0).astype(np.int32)
-    copy_stacked = jax.device_put(
-        jax.tree.map(lambda x: np.stack([x] * ITERS), copy_batch)
-    )
-    ref_copy = np.asarray(base_ids)
+    def agreement(ids):
+        got = np.asarray(ids)[0]
+        return float((got == ref).mean())
+
+    def with_source(src_ids, src_mask):
+        b2 = dict(batch)
+        b2["spec_source_ids"] = src_ids
+        b2["spec_source_mask"] = src_mask
+        return jax.device_put(
+            jax.tree.map(lambda x: np.stack([x] * ITERS), b2)
+        )
+
+    empty_src = np.zeros((batch_size, L_OCR), np.int32)
+    empty_mask = np.zeros((batch_size, L_OCR), np.int32)
+    nocopy_stacked = with_source(empty_src, empty_mask)
+
+    def plant(ids):
+        """Self-consistent copy corpus: the run's own (B, T) output ids."""
+        arr = np.asarray(ids)[0]
+        src = np.zeros((batch_size, L_OCR), np.int32)
+        src[:, : MAX_EVAL_LEN - 1] = arr[:, 1:]
+        return with_source(src, (src != 0).astype(np.int32))
 
     rows = [{"k": 1, "regime": "plain", "ms": round(base_ms, 1)}]
     for k in KS:
-        spec = scan_of_batches(make_speculative_generate_fn(model, MAX_EVAL_LEN, k))
-        log(f"SPEC_DECODE={k} copy regime:")
-        ms_c, ids_c = timed(spec, params, copy_stacked)
-        exact_c = bool(np.array_equal(np.asarray(ids_c), ref_copy))
-        log(f"SPEC_DECODE={k} nocopy regime:")
-        ms_n, ids_n = timed(spec, params, stacked)
-        exact_n = bool(np.array_equal(np.asarray(ids_n), np.asarray(base_ids)))
+        spec = scan_of_batches(
+            make_speculative_generate_fn(model, MAX_EVAL_LEN, k)
+        )
+        log(f"SPEC_DECODE={k} nocopy (overhead bound):")
+        ms_n, ids_n = timed(spec, params, nocopy_stacked)
+        # two planting iterations toward the bf16 fixpoint, then measure
+        _, ids_p1 = timed(spec, params, plant(ids_n), n=1)
+        log(f"SPEC_DECODE={k} copy (planted fixpoint):")
+        ms_c, ids_c = timed(spec, params, plant(ids_p1))
+        agree_n, agree_c = agreement(ids_n), agreement(ids_c)
+        fix_agree = float(
+            (np.asarray(ids_c)[0] == np.asarray(ids_p1)[0]).mean()
+        )  # fixpoint convergence: the planted corpus vs what was decoded
         log(
             f"K={k}: copy {ms_c:.1f} ms ({base_ms / ms_c:.2f}x, "
-            f"exact={exact_c}); nocopy {ms_n:.1f} ms "
-            f"({base_ms / ms_n:.2f}x, exact={exact_n})"
+            f"agree={agree_c:.3f}, fixpoint={fix_agree:.3f}); "
+            f"nocopy {ms_n:.1f} ms "
+            f"({base_ms / ms_n:.2f}x, agree={agree_n:.3f})"
         )
         rows.append({
             "k": k,
             "copy_ms": round(ms_c, 1),
             "copy_speedup": round(base_ms / ms_c, 2),
-            "copy_exact": exact_c,
+            "copy_token_agreement": round(agree_c, 3),
+            "copy_fixpoint_agreement": round(fix_agree, 3),
             "nocopy_ms": round(ms_n, 1),
             "nocopy_speedup": round(base_ms / ms_n, 2),
-            "nocopy_exact": exact_n,
+            "nocopy_token_agreement": round(agree_n, 3),
         })
     print(json.dumps({"batch": batch_size, "rows": rows}))
 

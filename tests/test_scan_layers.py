@@ -151,6 +151,39 @@ def test_latr_full_model_parity():
     _allclose(c0[0]["ck"], c1[0]["ck"])
 
 
+@pytest.mark.slow
+def test_checkpoint_resumes_across_layouts(tmp_path):
+    """A run trained UNROLLED resumes into a SCAN_LAYERS executor: the
+    full-state restore fails on the layout mismatch and the params-only
+    salvage converts block_{i} -> stacked blocks (base_executor)."""
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_unrolled = tiny_latr_yaml(paths, save, NUM_EPOCHS=1)
+    config = get_config(yaml_unrolled)
+    EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+
+    yaml_scan = tiny_latr_yaml(paths, save, NUM_EPOCHS=1, SCAN_LAYERS=True)
+    ex2 = EXECUTORS.get(get_config(yaml_scan).EXECUTOR)(
+        get_config(yaml_scan), mode="train"
+    )
+    assert has_scanned_blocks(ex2.state.params)
+    raw = ex2.ckpt.restore_raw("last")
+    want = stack_block_params(
+        jax.tree.map(np.asarray, raw["params"])
+    )
+    got_leaves = jax.tree.leaves(ex2.state.params)
+    want_leaves = jax.tree.leaves(want)
+    assert len(got_leaves) == len(want_leaves)
+    for a, b in zip(got_leaves, want_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ex2.state.epoch) == 1  # resumed, not fresh
+
+
 def test_hf_import_into_scanned_layout():
     """import_t5_params on a scanned tree == import on unrolled, then stack."""
     torch = pytest.importorskip("torch")

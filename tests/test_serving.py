@@ -43,6 +43,34 @@ def test_engine_matches_direct_infer(served):
     assert len(got) == len(qa)
 
 
+def test_engine_with_spec_decode_matches_plain(served, tmp_path_factory):
+    """SPEC_DECODE flows through executor.infer into serving and answers are
+    identical to the plain-greedy engine (the exactness invariant, at the
+    serving boundary)."""
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    tmp = tmp_path_factory.mktemp("serve_spec")
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10, SPEC_DECODE=3,
+    )
+    spec_cfg = get_config(yaml_path)
+    ex_spec = EXECUTORS.get(spec_cfg.EXECUTOR)(spec_cfg, mode="eval")
+    # same random init: SEED matches, so params are identical trees
+    import jax
+    import numpy as np
+
+    for a, b in zip(jax.tree.leaves(ex.state.params),
+                    jax.tree.leaves(ex_spec.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with ServingEngine(ex_spec, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=120) for f in futs]
+    want = ex.infer(ex.val_data, 4, 10)
+    assert got == want
+
+
 def test_engine_partial_batch_flush_and_reuse(served):
     ex, ocr_df, config, paths = served
     qa = pd.read_csv(paths["val"])
