@@ -78,24 +78,26 @@ def tree_shardings(mesh: Mesh, tree, zero1: bool = False):
     tp = int(mesh.shape[MODEL_AXIS])
     dp = int(mesh.shape[DATA_AXIS])
     repl = replicated(mesh)
-    col = NamedSharding(mesh, P(None, MODEL_AXIS))
-    row = NamedSharding(mesh, P(MODEL_AXIS, None))
 
     def base_spec(path, leaf) -> P:
         shape = getattr(leaf, "shape", ())
-        if tp == 1 or len(shape) != 2:
-            return P()
         names = "/".join(getattr(p, "key", str(p)) for p in path)
+        # SCAN_LAYERS stacks block params with a leading (num_layers,) axis
+        # (`blocks/...` 3-D kernels): same Megatron rules, shifted one dim
+        scanned = len(shape) == 3 and "blocks" in names
+        if tp == 1 or not (len(shape) == 2 or scanned):
+            return P()
+        lead = (None,) if scanned else ()
         if shape[-1] % tp == 0 and (
             any(k in names for k in ("wi_0", "wi_1", "/wi/", "/q/", "/k/", "/v/"))
             or names.endswith(("q/kernel", "k/kernel", "v/kernel"))
         ):
-            return P(None, MODEL_AXIS)
-        if shape[0] % tp == 0 and (
+            return P(*lead, None, MODEL_AXIS)
+        if shape[-2] % tp == 0 and (
             "wo" in names or "/o/" in names or names.endswith("o/kernel")
         ):
-            return P(MODEL_AXIS, None)
-        if shape[0] % tp == 0 and "embedding" in names:
+            return P(*lead, MODEL_AXIS, None)
+        if len(shape) == 2 and shape[0] % tp == 0 and "embedding" in names:
             return P(MODEL_AXIS, None)
         return P()
 
@@ -117,7 +119,7 @@ def tree_shardings(mesh: Mesh, tree, zero1: bool = False):
                     return NamedSharding(mesh, P(*axes))
         if spec == P():
             return repl
-        return col if spec == P(None, MODEL_AXIS) else row
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(rule, tree)
 

@@ -196,6 +196,70 @@ def test_executor_train_step_mesh_equivalence(tmp_path):
     assert n_tp >= 20, f"only {n_tp} TP-sharded params"
 
 
+def test_tree_shardings_cover_scanned_layout():
+    """SCAN_LAYERS stacks block kernels to 3-D (L, in, out): the Megatron
+    rules must fire with the split shifted one dim, not fall back to
+    replicated (a silent 'TP does nothing' cliff otherwise)."""
+    import jax.numpy as jnp
+
+    from phoneme_vqa_tpu.models.scan_utils import stack_block_params
+    from phoneme_vqa_tpu.models.t5 import T5, T5Config
+    from phoneme_vqa_tpu.parallel.mesh import create_mesh
+
+    cfg = T5Config(
+        vocab_size=32, d_model=8, d_kv=4, num_heads=2, d_ff=16,
+        num_layers=2, num_decoder_layers=2, dropout_rate=0.0,
+        dtype=jnp.float32,
+    )
+    emb = jnp.zeros((1, 3, 8))
+    dec = jnp.zeros((1, 2), jnp.int32)
+    params = T5(cfg).init(jax.random.PRNGKey(0), emb, dec)["params"]
+    scanned = stack_block_params(params)
+    mesh = create_mesh({"data": 4, "model": 2})
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda p, s: (jax.tree_util.keystr(p), s.spec),
+        tree_shardings(mesh, scanned),
+    )
+    flat = jax.tree.leaves(shardings, is_leaf=lambda x: isinstance(x, tuple))
+    tp_split = {
+        name: spec for name, spec in flat if any(a == MODEL_AXIS for a in spec)
+    }
+    # every scanned attention/FFN kernel is TP-split on the right dim
+    assert any("blocks" in n and "'q'" in n for n in tp_split), tp_split
+    for name, spec in tp_split.items():
+        if "blocks" in name:
+            assert len(spec) == 3 and spec[0] is None, (name, spec)
+    # 7 encoder (q,k,v,o + wi_0,wi_1,wo) + 11 decoder (self 4 + cross 4 + 3)
+    n_scanned_tp = sum(1 for n in tp_split if "blocks" in n)
+    assert n_scanned_tp == 18, (n_scanned_tp, sorted(tp_split))
+
+
+@pytest.mark.slow
+def test_executor_train_step_mesh_equivalence_scanned(tmp_path):
+    """The DP×TP executor step with SCAN_LAYERS matches single-device AND
+    actually TP-shards the stacked kernels."""
+    loss_1, params_1, _ = _executor_one_step(
+        tmp_path, "s_scan", {"data": 1, "model": 1}, SCAN_LAYERS=True
+    )
+    loss_tp, params_tp, ex_tp = _executor_one_step(
+        tmp_path, "t_scan", {"data": 4, "model": 2}, SCAN_LAYERS=True
+    )
+    assert np.isclose(loss_1, loss_tp, rtol=1e-5)
+    flat_1 = jax.tree_util.tree_leaves_with_path(params_1)
+    for (path, a), b in zip(flat_1, jax.tree.leaves(params_tp)):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    shardings = tree_shardings(ex_tp.mesh, ex_tp.state.params)
+    n_tp = sum(
+        1 for s in jax.tree.leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")
+        ) if any(a == MODEL_AXIS for a in s.spec)
+    )
+    assert n_tp >= 10, f"only {n_tp} TP-sharded params under SCAN_LAYERS"
+
+
 @pytest.mark.slow
 def test_executor_infer_mesh_equivalence(tmp_path):
     """Greedy eval decode through the executor matches across meshes,
