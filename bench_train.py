@@ -107,8 +107,13 @@ def main():
     from phoneme_vqa_tpu.train.optim import cross_entropy_loss, epoch_decay_schedule
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    ACCUM = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
     L_OCR, L_Q, L_A, IMG, V = 100, 30, 32, 224, 36096
-    cfg = LaTr_config().build(Config({"t5_vocab_size": V, "DTYPE": "bfloat16"}))
+    cfg = LaTr_config().build(Config({
+        "t5_vocab_size": V, "DTYPE": "bfloat16",
+        "SCAN_LAYERS": os.environ.get("BENCH_TRAIN_SCAN") == "1",
+        "REMAT": os.environ.get("BENCH_TRAIN_REMAT") == "1",
+    }))
     model = LaTr(cfg)
     rng = np.random.RandomState(0)
     batch = {
@@ -164,13 +169,23 @@ def main():
         )
         return cross_entropy_loss(logits, batch["label_ids"][:, 1:], 0)
 
+    # BENCH_TRAIN_ACCUM=N benches the production gradient-accumulation path
+    # (the executors' `_value_and_grad_accum`, GRAD_ACCUM_STEPS knob)
+    from phoneme_vqa_tpu.train.base_executor import BaseExecutor
+
+    _stub = object.__new__(BaseExecutor)
+    _stub._loss_from_batch = lambda p, b, rng=None: loss_fn(p, b)
+
+    def value_and_grad(params, batch):
+        return _stub._value_and_grad_accum(params, batch, None, ACCUM)
+
     iters = 8
 
     @jax.jit
     def run_many(params, opt_state, batch):
         def body(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            loss, grads = value_and_grad(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -196,7 +211,7 @@ def main():
     # plain matmul on this backend), so analyze one unscanned train step; fall
     # back to the 6*N*T transformer estimate if the backend doesn't expose it.
     def one_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        loss, grads = value_and_grad(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -206,6 +221,11 @@ def main():
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_step = float(ca["flops"])
+        # the grad-accum microbatch loop is a lax.scan whose body the cost
+        # analysis counts ONCE — scale to all ACCUM trips (slightly
+        # overcounts the once-per-step optimizer update, whose FLOPs are
+        # negligible next to the model fwd+bwd)
+        flops_per_step *= ACCUM
     except Exception as e:
         log(f"cost_analysis unavailable ({e}); using analytic estimate")
     if flops_per_step and flops_per_step > 0:
@@ -218,12 +238,15 @@ def main():
         flops_src = "6*N*T estimate"
     PEAK_BF16 = 197e12  # TPU v5e per-chip peak (bf16)
     mfu = flops_per_step / step_s / PEAK_BF16
-    try:
-        baseline = bench_cpu_train_reference(B, L_OCR, L_Q, L_A, IMG, V)
-        vs = throughput / baseline
-    except Exception as e:  # torch hiccup must not kill the bench line
-        log(f"cpu train baseline failed: {e}")
-        vs = -1.0
+    if os.environ.get("BENCH_TRAIN_SKIP_BASELINE") == "1":
+        vs = -1.0  # sweep runs: the torch-CPU step at large B takes minutes
+    else:
+        try:
+            baseline = bench_cpu_train_reference(B, L_OCR, L_Q, L_A, IMG, V)
+            vs = throughput / baseline
+        except Exception as e:  # torch hiccup must not kill the bench line
+            log(f"cpu train baseline failed: {e}")
+            vs = -1.0
     log(
         f"TPU train: {throughput:.1f} samples/s ({step_s * 1000:.1f} ms/step), "
         f"{flops_per_step / 1e12:.2f} TFLOP/step ({flops_src}), "
