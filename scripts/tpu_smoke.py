@@ -73,6 +73,8 @@ def main():
     p.add_argument("--work", default="/tmp/tpu_smoke")
     p.add_argument("--tiny", action="store_true",
                    help="tiny dims on CPU — self-test of this script's plumbing")
+    p.add_argument("--scan", action="store_true",
+                   help="SCAN_LAYERS+REMAT arc (the compile-time pairing)")
     args = p.parse_args()
 
     from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
@@ -93,7 +95,9 @@ def main():
         max_ocr_element=100, max_ocr_length=100, max_q_length=30,
         max_a_length=20, max_eval_length=20, max_predict_length=20,
         get_predict_score=True, LR=1e-4, NUMWORKERS=2,
-        DTYPE="float32" if args.tiny else "bfloat16", **dims,
+        DTYPE="float32" if args.tiny else "bfloat16",
+        **({"SCAN_LAYERS": True, "REMAT": True} if args.scan else {}),
+        **dims,
     )
 
     py = sys.executable
@@ -146,7 +150,8 @@ def main():
         raise SystemExit(f"artifact verification FAILED: {problems}")
 
     steps_per_epoch = args.rows // bs
-    report = f"""# TPU production-arc run (base scale)
+    variant = " — SCAN_LAYERS + REMAT" if args.scan else ""
+    report = f"""# TPU production-arc run (base scale{variant})
 
 Produced by `python scripts/tpu_smoke.py` on the real TPU device
 (`jax.devices()` -> TPU v5 lite), {time.strftime('%Y-%m-%d')}. This is the

@@ -289,6 +289,44 @@ def test_loader_shards_partition_rows():
     assert sorted(seen) == list(range(20))
 
 
+def test_zero1_covers_scanned_layout():
+    """zero1=True shards scanned (3-D) optimizer-state leaves over `data`
+    on a dim the TP split left free — the layer axis when TP took the
+    matmul dims."""
+    import jax.numpy as jnp
+
+    from phoneme_vqa_tpu.models.scan_utils import stack_block_params
+    from phoneme_vqa_tpu.models.t5 import T5, T5Config
+    from phoneme_vqa_tpu.parallel.mesh import DATA_AXIS
+
+    cfg = T5Config(
+        vocab_size=32, d_model=8, d_kv=4, num_heads=2, d_ff=16,
+        num_layers=4, num_decoder_layers=4, dropout_rate=0.0,
+        dtype=jnp.float32,
+    )
+    emb = jnp.zeros((1, 3, 8))
+    dec = jnp.zeros((1, 2), jnp.int32)
+    params = stack_block_params(
+        T5(cfg).init(jax.random.PRNGKey(0), emb, dec)["params"]
+    )
+    mesh = create_mesh({"data": 4, "model": 2})
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda p, s: (jax.tree_util.keystr(p), s.spec),
+        tree_shardings(mesh, params, zero1=True),
+    )
+    flat = jax.tree.leaves(shardings, is_leaf=lambda x: isinstance(x, tuple))
+    # scanned q kernels: (4, 8, 8) — TP on dim 2, zero1 data on dim 0
+    q = [spec for n, spec in flat if "blocks" in n and "'q'" in n]
+    assert q and all(
+        s[0] == DATA_AXIS and s[2] == MODEL_AXIS for s in q
+    ), q
+    # every float leaf got a data-axis dim somewhere (zero1 coverage)
+    n_data = sum(
+        1 for _, spec in flat if any(a == DATA_AXIS for a in spec)
+    )
+    assert n_data >= len(flat) - 2, (n_data, len(flat))
+
+
 def test_shard_batch_replicated_fallback_warns(caplog):
     """A batch that doesn't divide the data axis still works (replicated
     placement) but must WARN once — an 8x slowdown should never be silent
