@@ -36,6 +36,41 @@ def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=No
     return generate
 
 
+def make_sample_generate_fn(
+    model, max_length: int, temperature: float = 1.0, top_k: int = 0,
+    top_p: float = 1.0, seed: int = 0, bos_id=None, eos_id=None, pad_id=None,
+):
+    """Stochastic generation (``SAMPLE: true`` + TEMPERATURE/TOP_K/TOP_P):
+    the greedy whole-sequence program with categorical sampling over
+    temperature/top-k/nucleus-filtered logits. Deterministic per (seed,
+    step); temperature 0 or top_k 1 degenerate to greedy."""
+    from ..decode.sample import sample_decode
+
+    t5c = model.cfg.t5
+    bos = t5c.decoder_start_token_id if bos_id is None else bos_id
+    eos = t5c.eos_token_id if eos_id is None else eos_id
+    pad = t5c.pad_token_id if pad_id is None else pad_id
+
+    def generate(params, batch):
+        cache, full_bias, enc_mask = model.apply(
+            {"params": params}, batch, max_length,
+            method=type(model).encode_for_generate,
+        )
+
+        def step(tokens, cache, i):
+            return model.apply(
+                {"params": params}, tokens, cache, i, full_bias, enc_mask,
+                method=type(model).decode_step,
+            )
+
+        return sample_decode(
+            step, cache, enc_mask.shape[0], max_length, bos, eos, pad,
+            seed=seed, temperature=temperature, top_k=top_k, top_p=top_p,
+        )
+
+    return generate
+
+
 def make_speculative_generate_fn(
     model, max_length: int, spec_k: int, bos_id=None, eos_id=None, pad_id=None
 ):

@@ -567,8 +567,25 @@ class BaseExecutor:
         return total / max(it, 1)
 
     def _build_generate_fn(self, max_length: int):
-        from ..models.generate import make_generate_fn, make_speculative_generate_fn
+        from ..models.generate import (
+            make_generate_fn,
+            make_sample_generate_fn,
+            make_speculative_generate_fn,
+        )
 
+        if self.config.get("SAMPLE"):
+            if self.config.get("SPEC_DECODE"):
+                log.warning(
+                    "(!) SAMPLE and SPEC_DECODE both set — sampling wins "
+                    "(speculative verification is greedy-only)"
+                )
+            return jax.jit(make_sample_generate_fn(
+                self.model, max_length,
+                temperature=float(self.config.get("TEMPERATURE", 1.0)),
+                top_k=int(self.config.get("TOP_K", 0) or 0),
+                top_p=float(self.config.get("TOP_P", 1.0)),
+                seed=int(self.config.get("SEED", 13)),
+            ))
         spec_k = int(self.config.get("SPEC_DECODE", 0) or 0)
         if spec_k > 1:
             if not getattr(type(self.model), "spec_decode_supported", False):
