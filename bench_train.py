@@ -153,14 +153,45 @@ def main():
         if os.environ.get("BENCH_TRAIN_MU_DTYPE") == "bfloat16"
         else None
     )
+    # BENCH_TRAIN_LORA=R benches LoRA finetuning at rank R (the executors'
+    # LORA_RANK knob): frozen base, adapter-only optimizer state, merged
+    # weights rebuilt inside the step
+    LORA = int(os.environ.get("BENCH_TRAIN_LORA", "0"))
+    lora_scale = 1.0
+    if LORA:
+        from phoneme_vqa_tpu.train import lora as lora_mod
+
+        spec = lora_mod.from_config(Config({"LORA_RANK": LORA}))
+        lora_scale = spec.scale
+        adapters = lora_mod.init_lora(params, spec, jax.random.PRNGKey(1))
+        params = {"base": params, "lora": jax.device_put(adapters)}
+        log(f"LoRA rank {LORA}: {lora_mod.n_params(adapters) / 1e6:.2f}M "
+            "trainable adapter params")
     tx = build_optimizer(
         epoch_decay_schedule(5e-5, 1000), betas=(0.9, 0.98), eps=1e-9,
         mu_dtype=mu_dtype, kind=os.environ.get("BENCH_TRAIN_OPT", "adam"),
+        freeze_predicate=(
+            __import__(
+                "phoneme_vqa_tpu.train.lora", fromlist=["lora"]
+            ).freeze_base_predicate
+            if LORA
+            else None
+        ),
     )
     opt_state = jax.device_put(tx.init(params))
+    opt_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(opt_state)
+        if hasattr(x, "size")
+    )
+    log(f"optimizer state: {opt_bytes / 1e9:.3f} GB")
     batch = jax.device_put(batch)
 
     def loss_fn(params, batch):
+        if LORA:
+            from phoneme_vqa_tpu.train import lora as lora_mod
+
+            params = lora_mod.resolve(params, lora_scale)
         logits = model.apply(
             {"params": params},
             {k: batch[k] for k in model_keys},

@@ -265,13 +265,18 @@ class BaseExecutor:
     # -- checkpointing -----------------------------------------------------------
 
     def _ckpt_tree(self):
-        return {
+        tree = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": np.asarray(self.state.step, np.int64),
             "epoch": np.asarray(self.state.epoch, np.int64),
             "best_score": np.asarray(self.best_score, np.float32),
         }
+        if hasattr(self, "_lora_scale"):
+            # persisted so eval/predict/serve can merge WITHOUT the LORA_*
+            # config keys (the checkpoint is self-describing)
+            tree["lora_scale"] = np.asarray(self._lora_scale, np.float32)
+        return tree
 
     def _save_checkpoint(self, name: str):
         self.ckpt.save(name, self._ckpt_tree())
@@ -329,29 +334,73 @@ class BaseExecutor:
         checkpoint whose opt_state no longer matches (e.g. OPTIMIZER switched
         adam → adafactor mid-run). Trained params are recoverable in both
         cases; only the optimizer starts fresh."""
+        from . import lora
+
         try:
             raw = self.ckpt.restore_raw(name)
             if "params" not in raw:
                 return False
             params = jax.tree.map(np.asarray, raw["params"])
+            # LoRA layout mismatches are both recoverable: a composite
+            # checkpoint into a flat run merges (adapters folded in); a flat
+            # checkpoint into a LoRA run becomes the frozen base (current
+            # zero-initialized adapters keep the merged model identical)
+            if lora.is_composite(params) and not lora.is_composite(
+                self.state.params
+            ):
+                params = jax.tree.map(
+                    np.asarray,
+                    lora.merge_lora(
+                        params["base"], params["lora"],
+                        float(raw.get("lora_scale", 1.0)),
+                    ),
+                )
+            ours_tpl = self.state.params
+            ours_is_lora = lora.is_composite(ours_tpl)
+            their_lora = None
+            if ours_is_lora:
+                ours_tpl = ours_tpl["base"]
+                if lora.is_composite(params):
+                    # LoRA-to-LoRA salvage (e.g. OPTIMIZER switched): keep
+                    # their trained adapters when the shapes still match
+                    ok_adapters = jax.tree.structure(
+                        params["lora"]
+                    ) == jax.tree.structure(self.state.params["lora"]) and all(
+                        np.shape(a) == np.shape(b)
+                        for a, b in zip(
+                            jax.tree.leaves(params["lora"]),
+                            jax.tree.leaves(self.state.params["lora"]),
+                        )
+                    )
+                    their_lora = params["lora"] if ok_adapters else None
+                    params = params["base"]
             # checkpoint saved under the other SCAN_LAYERS layout: convert
             # (block_{i} <-> stacked blocks) instead of discarding the run
             from ..models.scan_utils import (
                 has_scanned_blocks, stack_block_params, unstack_block_params,
             )
-            ours_scanned = has_scanned_blocks(self.state.params)
+            ours_scanned = has_scanned_blocks(ours_tpl)
             if ours_scanned != has_scanned_blocks(params):
                 params = (
                     stack_block_params(params)
                     if ours_scanned
                     else unstack_block_params(params)
                 )
-            ours = jax.tree.leaves(self.state.params)
+            ours = jax.tree.leaves(ours_tpl)
             theirs = jax.tree.leaves(params)
             if len(ours) != len(theirs) or any(
                 np.shape(a) != np.shape(b) for a, b in zip(ours, theirs)
             ):
                 return False
+            if ours_is_lora:
+                params = {
+                    "base": params,
+                    "lora": (
+                        their_lora
+                        if their_lora is not None
+                        else self.state.params["lora"]
+                    ),
+                }
         except Exception:
             return False
         # restore step as well: epoch_decay_schedule keys on step, so a
@@ -370,9 +419,20 @@ class BaseExecutor:
         return True
 
     def _load_trained_checkpoint(self, loadtype: str):
-        """Eval/predict: restore params only (no optimizer template needed)."""
+        """Eval/predict/serve: restore params only (no optimizer template
+        needed). A LoRA composite checkpoint is merged to flat weights here
+        using its persisted ``lora_scale`` — downstream decode never sees the
+        split tree, and no LORA_* config keys are needed to serve one."""
+        from . import lora
+
         restored = self.ckpt.restore_raw(loadtype)
-        params = place_tree(self.mesh, jax.tree.map(np.asarray, restored["params"]))
+        raw_params = jax.tree.map(np.asarray, restored["params"])
+        if lora.is_composite(raw_params):
+            raw_params = lora.merge_lora(
+                raw_params["base"], raw_params["lora"],
+                float(restored.get("lora_scale", 1.0)),
+            )
+        params = place_tree(self.mesh, raw_params)
         self.state = self.state.replace(params=params)
         self.best_score = float(restored["best_score"])
 
@@ -414,9 +474,48 @@ class BaseExecutor:
         log.info(f"# Model parameters: {n / 1e6:.1f}M")
         return params
 
+    def _maybe_enable_lora(self):
+        """``LORA_RANK: N`` (train mode): wrap ``self.params`` into the
+        ``{"base", "lora"}`` composite and return the freeze predicate for
+        `build_optimizer` — the optimizer then trains ONLY the adapters and
+        allocates no state for the base (train/lora.py). Returns None when
+        LoRA is off (params untouched)."""
+        from . import lora
+
+        spec = lora.from_config(self.config)
+        if spec is None:
+            return None
+        rng = jax.random.PRNGKey(self.config.get("SEED", 13) + 1)
+        adapters = lora.init_lora(self.params, spec, rng)
+        self._lora_scale = spec.scale
+        self.params = {"base": self.params, "lora": adapters}
+        log.info(
+            f"# LoRA: rank {spec.rank}, alpha {spec.alpha}, "
+            f"{lora.n_params(adapters) / 1e6:.2f}M trainable adapter params "
+            f"({lora.n_params(self.params['base']) / 1e6:.1f}M base frozen)"
+        )
+        return lora.freeze_base_predicate
+
+    def _resolve_params(self, params):
+        """LoRA composite -> merged full params (identity otherwise). Called
+        inside jit (train/val loss) and before the bf16 inference cast; the
+        merge itself is jitted (inlined when already tracing) so the eval
+        path pays one dispatch, not one per adapter."""
+        from . import lora
+
+        if not lora.is_composite(params):
+            return params
+        if not hasattr(self, "_lora_merge_fn"):
+            scale = getattr(self, "_lora_scale", 1.0)
+            self._lora_merge_fn = jax.jit(
+                lambda p: lora.merge_lora(p["base"], p["lora"], scale)
+            )
+        return self._lora_merge_fn(params)
+
     def _loss_from_batch(self, params, batch, dropout_rng=None):
         from .optim import cross_entropy_loss
 
+        params = self._resolve_params(params)
         labels = batch["label_ids"]
         label_mask = batch["label_attention_mask"]
         logits = self.model.apply(
@@ -610,7 +709,7 @@ class BaseExecutor:
         masters are untouched. Cached per params object: eval calls within an
         epoch reuse one cast tree instead of re-casting ~1.5 GB per call."""
         if getattr(self.model_config.t5, "dtype", None) != jnp.bfloat16:
-            return self.state.params
+            return self._resolve_params(self.state.params)
         key = (id(self.state.params), int(self.state.step))
         cached = getattr(self, "_bf16_params_cache", None)
         if cached is not None and cached[0] == key:
@@ -619,7 +718,7 @@ class BaseExecutor:
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32
             else x,
-            self.state.params,
+            self._resolve_params(self.state.params),
         )
         self._bf16_params_cache = (key, casted)
         return casted

@@ -110,6 +110,7 @@ class _CustomizedMixin:
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),
+            freeze_predicate=self._maybe_enable_lora(),
         )
         self.state = TrainState.create(self.params, self.tx)
         self._maybe_resume()
@@ -131,11 +132,16 @@ class _CustomizedMixin:
             loss, grads = self._value_and_grad_accum(
                 state.params, batch, dropout_rng, accum
             )
-            for name in freeze_subtrees:
-                if name in grads:
-                    grads[name] = jax.tree.map(
-                        lambda g: g * encoder_lr_scale, grads[name]
-                    )
+            # NUM_FREEZE_EPOCH zeroes the encoder's grads; under LoRA the
+            # trainable leaves live in grads["lora"], mirroring the same
+            # subtree names (the base is already frozen by the optimizer)
+            roots = [grads["lora"]] if "lora" in grads else [grads]
+            for root in roots:
+                for name in freeze_subtrees:
+                    if name in root:
+                        root[name] = jax.tree.map(
+                            lambda g: g * encoder_lr_scale, root[name]
+                        )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (

@@ -188,6 +188,7 @@ class LaTrExecutor(BaseExecutor):
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),
+            freeze_predicate=self._maybe_enable_lora(),
         )
         self.state = TrainState.create(self.params, self.tx)
         self._maybe_resume()
