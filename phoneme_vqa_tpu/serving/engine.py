@@ -65,9 +65,9 @@ class ServingEngine:
     max_queue: >0 bounds pending requests; submit raises when full
         (backpressure instead of unbounded accumulation under overload).
     cache_size: >0 memoizes up to that many (image_id, question) -> answer
-        pairs (LRU). Decode is deterministic and weights are fixed for the
-        engine's lifetime, so repeats are answered without touching the
-        device.
+        pairs (LRU). Decode is deterministic and weights only change through
+        :meth:`reload` (which clears the cache), so repeats are answered
+        without touching the device.
     """
 
     def __init__(
@@ -112,6 +112,7 @@ class ServingEngine:
         self._failed = 0
         self._batches = 0
         self._cache_hits = 0
+        self._reloads = 0
         self._latencies_ms: list = []
         self._cache_size = int(cache_size)
         self._cache: "dict" = {}  # (image_id, question) -> answer, LRU order
@@ -181,9 +182,31 @@ class ServingEngine:
                 "failed": self._failed,
                 "batches": self._batches,
                 "cache_hits": self._cache_hits,
+                "reloads": self._reloads,
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
             }
+
+    def reload(self, loadtype: str = "best") -> dict:
+        """Hot-swap the serving weights from the checkpoint directory with NO
+        downtime: requests keep flowing while the new checkpoint restores;
+        the in-flight batch finishes on the old weights (``executor.infer``
+        snapshots the params once per call) and the next batch decodes with
+        the new ones — the swap is a single atomic attribute assignment.
+        Orbax finalizes saves by atomic rename, so a concurrent trainer can
+        never expose a half-written tree. The answer cache is cleared (its
+        entries are stale under new weights)."""
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+        t0 = time.monotonic()
+        self.executor._load_trained_checkpoint(loadtype)
+        with self._stats_lock:
+            self._cache.clear()
+            self._reloads += 1
+        ms = (time.monotonic() - t0) * 1e3
+        log.info(f"## hot-reloaded {loadtype}_ckp in {ms:.0f} ms")
+        return {"reloaded": loadtype, "ms": round(ms, 1)}
 
     def stop(self):
         """Drain outstanding requests, then stop the worker."""

@@ -435,6 +435,9 @@ class BaseExecutor:
         params = place_tree(self.mesh, raw_params)
         self.state = self.state.replace(params=params)
         self.best_score = float(restored["best_score"])
+        # drop the cached bf16 inference tree: it is keyed on id(params),
+        # which can collide with a freed tree's address after a hot reload
+        self._bf16_params_cache = None
 
     def _place_state(self):
         """Shard params + optimizer state over the mesh (TP rules when

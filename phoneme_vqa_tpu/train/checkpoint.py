@@ -47,6 +47,17 @@ class CheckpointManager:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._dir(name))
 
+    def mtime(self, name: str) -> Optional[float]:
+        """Modification time of the checkpoint dir (None if absent). Orbax
+        finalizes saves by renaming the tmp dir into place, so a changed
+        mtime means a complete new checkpoint — the serving hot-reload
+        watcher polls this."""
+        for root in (self.save_path, "./models"):
+            path = self._dir(name, root)
+            if os.path.isdir(path):
+                return os.path.getmtime(path)
+        return None
+
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure of ``target`` (shape/dtype template)."""
         self._ckptr.wait_until_finished()

@@ -61,6 +61,10 @@ def parse_args():
                    help="warm up (compile the serve executable into the "
                         "persistent compilation cache) and exit 0 — for "
                         "baking cache-primed container images")
+    p.add_argument("--reload-every", type=float, default=0, metavar="SECONDS",
+                   help=">0 polls the served checkpoint's mtime and "
+                        "hot-reloads new weights with no downtime (a trainer "
+                        "can keep writing checkpoints next to a live server)")
     return p.parse_args()
 
 
@@ -127,6 +131,21 @@ def make_http_server(engine, port: int):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                # hot-swap weights: {"ckpt": "best"|"last"} (default "best")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n)) if n else {}
+                    loadtype = str(body.get("ckpt", "best"))
+                    if loadtype not in ("best", "last"):
+                        return self._send(
+                            400, {"error": "ckpt must be 'best' or 'last'"}
+                        )
+                    return self._send(200, engine.reload(loadtype))
+                except FileNotFoundError as e:
+                    return self._send(404, {"error": str(e)})
+                except Exception as e:
+                    return self._send(500, {"error": str(e)})
             if self.path != "/answer":
                 return self._send(404, {"error": "not found"})
             from concurrent.futures import TimeoutError as FutureTimeout
@@ -161,9 +180,37 @@ def make_http_server(engine, port: int):
     return _Server(("", port), Handler)
 
 
+def start_reload_watcher(engine, loadtype: str, every_s: float):
+    """Polls the served checkpoint's mtime every ``every_s`` seconds and
+    hot-reloads when a trainer writes a new one (orbax's atomic rename means
+    a changed mtime is always a complete checkpoint). Daemon thread; dies
+    with the process."""
+    import time as _time
+
+    ckpt = engine.executor.ckpt
+    last = {"mtime": ckpt.mtime(loadtype)}
+
+    def watch():
+        while not engine._stopped:
+            _time.sleep(every_s)
+            try:
+                m = ckpt.mtime(loadtype)
+                if m is not None and m != last["mtime"]:
+                    engine.reload(loadtype)
+                    last["mtime"] = m
+            except Exception as e:  # keep watching; a reload can be retried
+                log.warning(f"reload watcher: {e!r}")
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    return t
+
+
 def main():
     args = parse_args()
     engine = build_engine(args)
+    if args.reload_every > 0 and args.ckpt != "none":
+        start_reload_watcher(engine, args.ckpt, args.reload_every)
     if args.prime:
         # warmup already compiled the serve executable into the persistent
         # cache during build_engine; nothing else to do

@@ -594,3 +594,124 @@ def test_serve_prime_exits_clean(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "cache primed" in (r.stdout + r.stderr)
+
+
+def test_hot_reload_stub():
+    """engine.reload(): swaps weights between batches with no downtime —
+    new answers after the swap, the LRU cache is cleared (stale under new
+    weights), and the reloads stat counts."""
+    class _Stub:
+        version = 1
+
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            return [f"v{self.version}-{i}" for i in range(len(ds))]
+
+        def _load_trained_checkpoint(self, loadtype):
+            assert loadtype in ("best", "last")
+            self.version += 1
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False, cache_size=8) as eng:
+        assert eng.answer(1.0, "q", timeout=30) == "v1-0"
+        assert eng.answer(1.0, "q", timeout=30) == "v1-0"  # cached
+        info = eng.reload("best")
+        assert info["reloaded"] == "best" and info["ms"] >= 0
+        # cache cleared: the same request re-decodes under the new weights
+        assert eng.answer(1.0, "q", timeout=30) == "v2-0"
+        assert eng.stats()["reloads"] == 1
+    with pytest.raises(RuntimeError, match="engine stopped"):
+        eng.reload("best")
+
+
+def test_reload_watcher_stub(tmp_path):
+    """serve.py's --reload-every watcher: a changed checkpoint mtime
+    triggers exactly one hot reload."""
+    import importlib.util
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", os.path.join(os.path.dirname(__file__), "..", "serve.py")
+    )
+    serve_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_cli)
+
+    class _Ckpt:
+        def __init__(self):
+            self._mtime = 100.0
+
+        def mtime(self, name):
+            return self._mtime
+
+    class _Stub:
+        def __init__(self):
+            self.ckpt = _Ckpt()
+            self.loads = 0
+
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml):
+            return ["a"] * len(ds)
+
+        def _load_trained_checkpoint(self, loadtype):
+            self.loads += 1
+
+    ocr = pd.DataFrame({"image_id": [1.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False) as eng:
+        serve_cli.start_reload_watcher(eng, "best", every_s=0.05)
+        time.sleep(0.2)
+        assert eng.stats()["reloads"] == 0  # unchanged mtime: no reload
+        eng.executor.ckpt._mtime = 200.0  # trainer wrote a new checkpoint
+        deadline = time.monotonic() + 5
+        while eng.stats()["reloads"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert eng.stats()["reloads"] == 1
+        time.sleep(0.2)  # stable mtime afterwards: still exactly one
+        assert eng.stats()["reloads"] == 1
+
+
+@pytest.mark.slow
+def test_hot_reload_swaps_real_weights(tmp_path):
+    """End to end: serve checkpoint A, overwrite it with different weights,
+    reload — answers equal the direct infer under B and the engine never
+    stopped."""
+    import jax
+    import numpy as np
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1, max_eval_length=10)
+    config = get_config(yaml_path)
+    tr = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tr._save_checkpoint("best")
+    tr.ckpt.wait()
+
+    ev = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ev._load_trained_checkpoint("best")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    qa = pd.read_csv(paths["val"]).head(4)
+    with ServingEngine(ev, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10) as eng:
+        before = [eng.answer(r.image_id, r.question, timeout=120)
+                  for r in qa.itertuples()]
+        # a differently-seeded init saved over best_ckp = new weights
+        rng = np.random.RandomState(99)
+        new_params = jax.tree.map(
+            lambda x: (rng.standard_normal(x.shape) * 0.02).astype(np.float32)
+            if hasattr(x, "shape") and x.dtype == np.float32 else x,
+            jax.tree.map(np.asarray, tr.state.params),
+        )
+        tr.state = tr.state.replace(params=new_params)
+        tr._save_checkpoint("best")
+        tr.ckpt.wait()
+        eng.reload("best")
+        after = [eng.answer(r.image_id, r.question, timeout=120)
+                 for r in qa.itertuples()]
+        want = ev.infer(ev.val_data, 4, 10)[: len(qa)]
+    assert after == want
+    assert eng.stats()["reloads"] == 1
