@@ -91,9 +91,14 @@ def beam_decode(
     bos_id: int,
     eos_id: int,
     pad_id: int,
+    with_scores: bool = False,
 ) -> jnp.ndarray:
     """Returns the best sequence per batch row: (B, max_length) int32.
-    ``cache`` must already be expanded to B*K rows (see `_expand_to_beams`)."""
+    ``cache`` must already be expanded to B*K rows (see `_expand_to_beams`).
+    ``with_scores=True`` adds (B,) f32 mean emitted-token log-prob of the
+    winning beam (its cumulative score over its emitted length — finished
+    beams accumulate pad at zero cost, so the sum is exactly over emitted
+    tokens, EOS included)."""
     b, k = batch_size, num_beams
     seqs = jnp.full((b, k, max_length), pad_id, jnp.int32).at[:, :, 0].set(bos_id)
     scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
@@ -131,7 +136,12 @@ def beam_decode(
         cond, body, (jnp.int32(0), seqs, scores, cache, finished)
     )
     best = jnp.argmax(scores, axis=1)
-    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+    best_seq = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+    if with_scores:
+        emitted = jnp.sum((best_seq[:, 1:] != pad_id), axis=1).astype(jnp.float32)
+        best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        return best_seq, best_score / jnp.maximum(emitted, 1.0)
+    return best_seq
 
 
 def multi_head_beam_decode(
@@ -144,8 +154,11 @@ def multi_head_beam_decode(
     eos_id: int,
     pad_id: int,
     stop_component: int = 0,
+    with_scores: bool = False,
 ) -> jnp.ndarray:
-    """Joint-log-prob beam over component triples. Returns (B, T, C) int32."""
+    """Joint-log-prob beam over component triples. Returns (B, T, C) int32;
+    ``with_scores=True`` adds (B,) f32 mean log-prob per emitted component id
+    (winning beam's joint score over emitted steps × C heads)."""
     b, k = batch_size, num_beams
     num_c = 3
     seqs = jnp.full((b, k, max_length, num_c), pad_id, jnp.int32)
@@ -218,4 +231,11 @@ def multi_head_beam_decode(
         cond, body, (jnp.int32(0), seqs, scores, cache, finished)
     )
     best = jnp.argmax(scores, axis=1)
-    return jnp.take_along_axis(seqs, best[:, None, None, None], axis=1)[:, 0]
+    best_seq = jnp.take_along_axis(seqs, best[:, None, None, None], axis=1)[:, 0]
+    if with_scores:
+        emitted = num_c * jnp.sum(
+            (best_seq[:, 1:, stop_component] != pad_id), axis=1
+        ).astype(jnp.float32)
+        best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        return best_seq, best_score / jnp.maximum(emitted, 1.0)
+    return best_seq

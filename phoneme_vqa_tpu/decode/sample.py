@@ -67,24 +67,33 @@ def sample_decode(
     top_k: int = 0,
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
+    with_scores: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, max_length) int32 sampled ids, greedy-shaped output.
 
     ``temperature == 0`` or ``top_k == 1`` degenerate to argmax (greedy).
+    ``with_scores=True`` adds (B,) f32 mean log-prob of the emitted tokens
+    under the RAW model distribution (pre temperature/filtering) — the
+    model's actual confidence in what sampling picked, not the skewed
+    sampling distribution's.
     """
+    from .greedy import chosen_logprob
+
     base_rng = jax.random.PRNGKey(seed) if rng is None else rng
     greedy_mode = temperature == 0.0 or top_k == 1
 
     out = jnp.full((batch_size, max_length), pad_id, jnp.int32)
     out = out.at[:, 0].set(bos_id)
     done = jnp.zeros((batch_size,), bool)
+    sum_lp = jnp.zeros((batch_size,), jnp.float32)
+    count = jnp.zeros((batch_size,), jnp.float32)
 
     def cond(state):
-        i, _, _, done = state
+        i, _, _, done, _, _ = state
         return (i < max_length - 1) & ~jnp.all(done)
 
     def body(state):
-        i, out, cache, done = state
+        i, out, cache, done, sum_lp, count = state
         cur = lax.dynamic_slice(out, (0, i), (batch_size, 1))[:, 0]
         logits, cache = step_fn(cur, cache, i)
         if greedy_mode:
@@ -96,10 +105,18 @@ def sample_decode(
             nxt = jax.random.categorical(
                 jax.random.fold_in(base_rng, i), filtered, axis=-1
             ).astype(jnp.int32)
+        if with_scores:
+            lp = chosen_logprob(logits, nxt)
+            sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+            count = count + (~done).astype(jnp.float32)
         nxt = jnp.where(done, pad_id, nxt)
         out = lax.dynamic_update_slice(out, nxt[:, None], (0, i + 1))
         done = done | (nxt == eos_id)
-        return i + 1, out, cache, done
+        return i + 1, out, cache, done, sum_lp, count
 
-    _, out, _, _ = lax.while_loop(cond, body, (jnp.int32(0), out, cache, done))
+    _, out, _, _, sum_lp, count = lax.while_loop(
+        cond, body, (jnp.int32(0), out, cache, done, sum_lp, count)
+    )
+    if with_scores:
+        return out, sum_lp / jnp.maximum(count, 1.0)
     return out

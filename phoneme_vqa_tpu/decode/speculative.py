@@ -84,8 +84,12 @@ def speculative_greedy_decode(
     bos_id: int,
     eos_id: int,
     pad_id: int,
+    with_scores: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, max_length) int32, IDENTICAL to `greedy_decode`'s output.
+    ``with_scores=True`` adds (B,) f32 mean emitted-token log-prob, equal to
+    plain greedy's (verification computes every emitted position's logits,
+    so confidence costs no extra steps — accepted drafts score for free).
 
     Loop state is (pos, out, cache, done) where pos[b] is the position of
     row b's last verified input token. Each trip: draft K-1 tokens, verify
@@ -99,14 +103,16 @@ def speculative_greedy_decode(
     out = out.at[:, 0].set(bos_id)
     pos = jnp.zeros((batch_size,), jnp.int32)
     done = jnp.zeros((batch_size,), bool)
+    sum_lp = jnp.zeros((batch_size,), jnp.float32)
+    count = jnp.zeros((batch_size,), jnp.float32)
     jj = jnp.arange(kk, dtype=jnp.int32)[None, :]  # (1, K)
 
     def cond(state):
-        _, _, _, done = state
+        _, _, _, done, _, _ = state
         return ~jnp.all(done)
 
     def body(state):
-        pos, out, cache, done = state
+        pos, out, cache, done, sum_lp, count = state
         cur = jnp.take_along_axis(out, pos[:, None], axis=1)  # (B, 1)
         drafts = draft_fn(out, pos)  # (B, K-1)
         window = jnp.concatenate([cur, drafts], axis=1)  # (B, K)
@@ -128,6 +134,13 @@ def speculative_greedy_decode(
         keep = (jj < n_acc[:, None]) & (eos_before == 0) & ~done[:, None]
         toks = jnp.where(keep, toks, pad_id)
         n_eff = jnp.sum(keep.astype(jnp.int32), axis=1)  # (B,)
+        if with_scores:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(logp, greedy[:, :, None], axis=2)[
+                :, :, 0
+            ]  # (B, K)
+            sum_lp = sum_lp + jnp.sum(jnp.where(keep, tok_lp, 0.0), axis=1)
+            count = count + n_eff.astype(jnp.float32)
 
         # scatter toks into out at positions pos+1+j (one-hot over T: T and
         # K are small; collisions past max_length-1 are masked by `keep`)
@@ -147,7 +160,11 @@ def speculative_greedy_decode(
             | (pos + n_eff >= max_length - 1)
         )
         pos = pos + n_eff
-        return pos, out, cache, done
+        return pos, out, cache, done, sum_lp, count
 
-    _, out, _, _ = lax.while_loop(cond, body, (pos, out, cache, done))
+    _, out, _, _, sum_lp, count = lax.while_loop(
+        cond, body, (pos, out, cache, done, sum_lp, count)
+    )
+    if with_scores:
+        return out, sum_lp / jnp.maximum(count, 1.0)
     return out

@@ -12,7 +12,10 @@ from __future__ import annotations
 from ..decode.greedy import greedy_decode, multi_head_greedy_decode
 
 
-def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=None):
+def make_generate_fn(
+    model, max_length: int, bos_id=None, eos_id=None, pad_id=None,
+    with_scores: bool = False,
+):
     t5c = model.cfg.t5
     bos = t5c.decoder_start_token_id if bos_id is None else bos_id
     eos = t5c.eos_token_id if eos_id is None else eos_id
@@ -31,7 +34,10 @@ def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=No
             )
 
         batch_size = enc_mask.shape[0]
-        return greedy_decode(step, cache, batch_size, max_length, bos, eos, pad)
+        return greedy_decode(
+            step, cache, batch_size, max_length, bos, eos, pad,
+            with_scores=with_scores,
+        )
 
     return generate
 
@@ -39,6 +45,7 @@ def make_generate_fn(model, max_length: int, bos_id=None, eos_id=None, pad_id=No
 def make_sample_generate_fn(
     model, max_length: int, temperature: float = 1.0, top_k: int = 0,
     top_p: float = 1.0, seed: int = 0, bos_id=None, eos_id=None, pad_id=None,
+    with_scores: bool = False,
 ):
     """Stochastic generation (``SAMPLE: true`` + TEMPERATURE/TOP_K/TOP_P):
     the greedy whole-sequence program with categorical sampling over
@@ -66,13 +73,15 @@ def make_sample_generate_fn(
         return sample_decode(
             step, cache, enc_mask.shape[0], max_length, bos, eos, pad,
             seed=seed, temperature=temperature, top_k=top_k, top_p=top_p,
+            with_scores=with_scores,
         )
 
     return generate
 
 
 def make_speculative_generate_fn(
-    model, max_length: int, spec_k: int, bos_id=None, eos_id=None, pad_id=None
+    model, max_length: int, spec_k: int, bos_id=None, eos_id=None, pad_id=None,
+    with_scores: bool = False,
 ):
     """Greedy generation with OCR prompt-lookup speculative decoding
     (``SPEC_DECODE: K``): token-for-token identical output to
@@ -139,14 +148,15 @@ def make_speculative_generate_fn(
 
         return speculative_greedy_decode(
             step_k, draft, cache, enc_mask.shape[0], max_length, spec_k,
-            bos, eos, pad,
+            bos, eos, pad, with_scores=with_scores,
         )
 
     return generate
 
 
 def make_beam_generate_fn(
-    model, max_length: int, num_beams: int, bos_id=None, eos_id=None, pad_id=None
+    model, max_length: int, num_beams: int, bos_id=None, eos_id=None, pad_id=None,
+    with_scores: bool = False,
 ):
     """Beam-search generation: encode once, expand cache/mask to B*K beams."""
     from ..decode.beam import _expand_to_beams, beam_decode
@@ -172,7 +182,8 @@ def make_beam_generate_fn(
             )
 
         return beam_decode(
-            step, cache, batch_size, num_beams, max_length, bos, eos, pad
+            step, cache, batch_size, num_beams, max_length, bos, eos, pad,
+            with_scores=with_scores,
         )
 
     return generate
@@ -180,7 +191,7 @@ def make_beam_generate_fn(
 
 def make_multi_head_beam_generate_fn(
     model, max_length: int, num_beams: int, bos_id: int, eos_id: int,
-    pad_id: int, stop_component: int = 0,
+    pad_id: int, stop_component: int = 0, with_scores: bool = False,
 ):
     from ..decode.beam import _expand_to_beams, multi_head_beam_decode
 
@@ -201,7 +212,7 @@ def make_multi_head_beam_generate_fn(
 
         return multi_head_beam_decode(
             step, cache, batch_size, num_beams, max_length, bos_id, eos_id,
-            pad_id, stop_component,
+            pad_id, stop_component, with_scores=with_scores,
         )
 
     return generate
@@ -209,7 +220,7 @@ def make_multi_head_beam_generate_fn(
 
 def make_multi_head_generate_fn(
     model, max_length: int, num_components: int, bos_id: int, eos_id: int,
-    pad_id: int, stop_component: int = 0,
+    pad_id: int, stop_component: int = 0, with_scores: bool = False,
 ):
     """Greedy generation over component-tuple streams (phoneme triples)."""
 
@@ -228,7 +239,7 @@ def make_multi_head_generate_fn(
         batch_size = enc_mask.shape[0]
         return multi_head_greedy_decode(
             step, cache, batch_size, max_length, num_components, bos_id,
-            eos_id, pad_id, stop_component,
+            eos_id, pad_id, stop_component, with_scores=with_scores,
         )
 
     return generate

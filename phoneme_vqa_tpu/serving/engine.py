@@ -25,6 +25,7 @@ the engine only uses ``executor._make_dataset`` and ``executor.infer``.
 
 from __future__ import annotations
 
+import math
 import queue
 import threading
 import time
@@ -68,6 +69,12 @@ class ServingEngine:
         pairs (LRU). Decode is deterministic and weights only change through
         :meth:`reload` (which clears the cache), so repeats are answered
         without touching the device.
+    confidence: resolve requests to ``{"answer", "confidence"}`` dicts
+        instead of bare answer strings. Confidence is the geometric-mean
+        emitted-token probability (exp of the decode loop's mean log-prob —
+        see ``BaseExecutor.infer(return_scores=True)``), accumulated inside
+        the same compiled decode; production callers threshold on it to
+        route low-confidence answers to review.
     """
 
     def __init__(
@@ -81,6 +88,7 @@ class ServingEngine:
         warmup: bool = True,
         max_queue: int = 0,
         cache_size: int = 0,
+        confidence: bool = False,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -88,6 +96,7 @@ class ServingEngine:
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_answer_length = int(max_answer_length)
+        self.confidence = bool(confidence)
         self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
         if obj_df is not None:
@@ -120,7 +129,10 @@ class ServingEngine:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable)
             ds = self._featurize([_Request(next(iter(self._known_ids)), "")])
-            self.executor.infer(ds, self.batch_size, self.max_answer_length)
+            self.executor.infer(
+                ds, self.batch_size, self.max_answer_length,
+                return_scores=self.confidence,
+            )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -280,8 +292,14 @@ class ServingEngine:
                         f"featurization dropped rows: {len(ds)} != {len(reqs)}"
                     )
                 answers = self.executor.infer(
-                    ds, self.batch_size, self.max_answer_length
+                    ds, self.batch_size, self.max_answer_length,
+                    return_scores=self.confidence,
                 )
+                if self.confidence:
+                    answers = [
+                        {"answer": a, "confidence": round(math.exp(s), 4)}
+                        for a, s in zip(*answers)
+                    ]
             except Exception as e:  # resolve the whole batch with the error
                 log.warning(f"serving batch of {len(reqs)} failed: {e!r}")
                 for r in reqs:

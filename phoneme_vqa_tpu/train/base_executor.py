@@ -668,7 +668,7 @@ class BaseExecutor:
                     self._save_checkpoint("last")
         return total / max(it, 1)
 
-    def _build_generate_fn(self, max_length: int):
+    def _build_generate_fn(self, max_length: int, with_scores: bool = False):
         from ..models.generate import (
             make_generate_fn,
             make_sample_generate_fn,
@@ -687,6 +687,7 @@ class BaseExecutor:
                 top_k=int(self.config.get("TOP_K", 0) or 0),
                 top_p=float(self.config.get("TOP_P", 1.0)),
                 seed=int(self.config.get("SEED", 13)),
+                with_scores=with_scores,
             ))
         spec_k = int(self.config.get("SPEC_DECODE", 0) or 0)
         if spec_k > 1:
@@ -696,15 +697,20 @@ class BaseExecutor:
                     f"{type(self.model).__name__} uses a custom decoder cache"
                 )
             else:
-                return jax.jit(
-                    make_speculative_generate_fn(self.model, max_length, spec_k)
-                )
-        return jax.jit(make_generate_fn(self.model, max_length))
+                return jax.jit(make_speculative_generate_fn(
+                    self.model, max_length, spec_k, with_scores=with_scores
+                ))
+        return jax.jit(
+            make_generate_fn(self.model, max_length, with_scores=with_scores)
+        )
 
-    def _get_generate_fn(self, max_length: int):
-        if max_length not in self._generate_fns:
-            self._generate_fns[max_length] = self._build_generate_fn(max_length)
-        return self._generate_fns[max_length]
+    def _get_generate_fn(self, max_length: int, with_scores: bool = False):
+        key = (max_length, with_scores)
+        if key not in self._generate_fns:
+            self._generate_fns[key] = self._build_generate_fn(
+                max_length, with_scores
+            )
+        return self._generate_fns[key]
 
     def _inference_params(self):
         """bf16 inference weights when the model computes in bf16 (halves the
@@ -726,10 +732,18 @@ class BaseExecutor:
         self._bf16_params_cache = (key, casted)
         return casted
 
-    def infer(self, dataset, batch_size: int, max_length: int) -> List[str]:
+    def infer(
+        self, dataset, batch_size: int, max_length: int,
+        return_scores: bool = False,
+    ) -> List[str]:
+        """Decode answer strings for every dataset row. ``return_scores=True``
+        returns ``(answers, scores)`` where scores[i] is the mean emitted-
+        token log-probability of answer i (``exp`` of it = the confidence
+        number serving reports); it compiles a separate scoring executable,
+        cached per (max_length, True)."""
         from ..data.loader import batch_iterator
 
-        generate = self._get_generate_fn(max_length)
+        generate = self._get_generate_fn(max_length, with_scores=return_scores)
         params = self._inference_params()
         pending: List = []
         batches = self._maybe_prefetch(
@@ -739,12 +753,19 @@ class BaseExecutor:
         # host-side featurization of batch i+1 overlaps device decode of
         # batch i, and the per-dispatch host sync is paid once, not per batch
         for batch, n_valid in batches:
-            ids = generate(params, self._shard(self._model_batch(batch)))
-            pending.append((ids, n_valid))
+            out = generate(params, self._shard(self._model_batch(batch)))
+            pending.append((out, n_valid))
         out_rows: List = []
-        for ids, n_valid in pending:
+        out_scores: List = []
+        for out, n_valid in pending:
+            ids = out[0] if return_scores else out
             out_rows.extend(np.asarray(ids)[:n_valid].tolist())
-        return self._decode_rows(out_rows)
+            if return_scores:
+                out_scores.extend(np.asarray(out[1], np.float64)[:n_valid].tolist())
+        answers = self._decode_rows(out_rows)
+        if return_scores:
+            return answers, out_scores
+        return answers
 
     def _decode_rows(self, rows) -> List[str]:
         """Cut [start, ..., eos] -> tokens between, then detokenize

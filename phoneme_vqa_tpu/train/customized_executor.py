@@ -80,7 +80,7 @@ class _CustomizedMixin:
             eos_id=tok.eos_id,
         )
 
-    def _build_generate_fn(self, max_length: int):
+    def _build_generate_fn(self, max_length: int, with_scores: bool = False):
         from ..models.generate import make_beam_generate_fn, make_generate_fn
 
         tok = self.decode_tokenizer
@@ -89,11 +89,13 @@ class _CustomizedMixin:
             fn = make_generate_fn(
                 self.model, max_length,
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
+                with_scores=with_scores,
             )
         else:
             fn = make_beam_generate_fn(
                 self.model, max_length, num_beams=int(c.num_beam),
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
+                with_scores=with_scores,
             )
         return jax.jit(fn)
 

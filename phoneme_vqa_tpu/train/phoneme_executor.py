@@ -89,7 +89,7 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
             + cross_entropy_loss(tone, labels[:, 1:, 2], pad)
         )
 
-    def _build_generate_fn(self, max_length: int):
+    def _build_generate_fn(self, max_length: int, with_scores: bool = False):
         from ..models.generate import (
             make_multi_head_beam_generate_fn,
             make_multi_head_generate_fn,
@@ -101,13 +101,13 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
             fn = make_multi_head_generate_fn(
                 self.model, max_length, num_components=3,
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
-                stop_component=0,
+                stop_component=0, with_scores=with_scores,
             )
         else:
             fn = make_multi_head_beam_generate_fn(
                 self.model, max_length, num_beams=int(c.num_beam),
                 bos_id=tok.bos_id, eos_id=tok.eos_id, pad_id=tok.pad_id,
-                stop_component=0,
+                stop_component=0, with_scores=with_scores,
             )
         return jax.jit(fn)
 

@@ -57,6 +57,9 @@ def parse_args():
                    help=">0 bounds pending requests (backpressure)")
     p.add_argument("--cache-size", type=int, default=0,
                    help=">0 memoizes repeated (image_id, question) answers (LRU)")
+    p.add_argument("--confidence", action="store_true",
+                   help="include a confidence field (geometric-mean emitted-"
+                        "token probability) in every answer")
     p.add_argument("--prime", action="store_true",
                    help="warm up (compile the serve executable into the "
                         "persistent compilation cache) and exit 0 — for "
@@ -93,6 +96,7 @@ def build_engine(args):
         max_answer_length=max_len,
         max_queue=args.max_queue,
         cache_size=args.cache_size,
+        confidence=args.confidence,
     )
 
 
@@ -167,7 +171,8 @@ def make_http_server(engine, port: int):
                 ans = engine.answer(
                     req["image_id"], str(req["question"]), timeout=120
                 )
-                self._send(200, {"answer": ans})
+                # confidence mode resolves to {"answer", "confidence"}
+                self._send(200, ans if isinstance(ans, dict) else {"answer": ans})
             except KeyError as e:  # unknown image
                 self._send(404, {"error": str(e)})
             except RuntimeError as e:  # queue full / engine stopped
@@ -246,8 +251,11 @@ def main():
 
     def respond(req_id, fut):
         try:
-            line = json.dumps({"id": req_id, "answer": fut.result()},
-                              ensure_ascii=False)
+            res = fut.result()
+            # confidence mode resolves to {"answer", "confidence"}
+            obj = {"id": req_id, **res} if isinstance(res, dict) else \
+                  {"id": req_id, "answer": res}
+            line = json.dumps(obj, ensure_ascii=False)
         except Exception as e:
             line = json.dumps({"id": req_id, "error": str(e)}, ensure_ascii=False)
         with out_lock:

@@ -156,7 +156,7 @@ def test_admission_edge_cases():
         def _make_dataset(self, qa, ocr, obj=None):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             return ["ans"] * len(ds)
 
     int_store = pd.DataFrame({"image_id": np.array([1, 2], dtype=np.int64)})
@@ -341,7 +341,7 @@ def test_answer_cache():
         def _make_dataset(self, qa, ocr):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             calls.append(len(ds))
             return [f"ans{len(calls)}-{i}" for i in range(len(ds))]
 
@@ -371,7 +371,7 @@ def test_stopped_engine_rejects_cached_requests():
         def _make_dataset(self, qa, ocr):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             return ["a" for _ in ds]
 
     ocr = pd.DataFrame({"image_id": [1.0]})
@@ -394,7 +394,7 @@ def test_stats_and_backpressure():
         def _make_dataset(self, qa, ocr):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             time.sleep(0.15)
             return ["ans"] * len(ds)
 
@@ -606,7 +606,7 @@ def test_hot_reload_stub():
         def _make_dataset(self, qa, ocr):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             return [f"v{self.version}-{i}" for i in range(len(ds))]
 
         def _load_trained_checkpoint(self, loadtype):
@@ -654,7 +654,7 @@ def test_reload_watcher_stub(tmp_path):
         def _make_dataset(self, qa, ocr):
             return list(range(len(qa)))
 
-        def infer(self, ds, bs, ml):
+        def infer(self, ds, bs, ml, return_scores=False):
             return ["a"] * len(ds)
 
         def _load_trained_checkpoint(self, loadtype):
@@ -715,3 +715,29 @@ def test_hot_reload_swaps_real_weights(tmp_path):
         want = ev.infer(ev.val_data, 4, 10)[: len(qa)]
     assert after == want
     assert eng.stats()["reloads"] == 1
+
+
+def test_confidence_mode(served):
+    """confidence=True resolves to {"answer", "confidence"} dicts; answers
+    match the plain engine, confidence is exp(mean emitted-token log-prob)
+    in (0, 1], and the executor-level return_scores agrees."""
+    import math
+
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    want_ans, want_scores = ex.infer(ex.val_data, 4, 10, return_scores=True)
+    assert want_ans == ex.infer(ex.val_data, 4, 10)  # scoring can't change ids
+    with ServingEngine(ex, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10, confidence=True,
+                       cache_size=8) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=120) for f in futs]
+        # cached repeat returns the same dict
+        row = next(qa.itertuples())
+        again = eng.answer(row.image_id, row.question, timeout=120)
+    assert [g["answer"] for g in got] == want_ans
+    for g, s in zip(got, want_scores):
+        assert 0.0 < g["confidence"] <= 1.0
+        assert abs(g["confidence"] - math.exp(s)) < 1e-3
+    assert again == got[0]
+    assert eng.stats()["cache_hits"] == 1
