@@ -167,7 +167,7 @@ class LaTr(FusionModel):
 
 
 # backwards-compat alias for the generic generate builder
-def make_generate_fn(model, max_length: int):
+def make_generate_fn(model, max_length: int, with_scores: bool = False):
     from .generate import make_generate_fn as _mk
 
-    return _mk(model, max_length)
+    return _mk(model, max_length, with_scores=with_scores)
