@@ -272,6 +272,8 @@ class BaseExecutor:
             "epoch": np.asarray(self.state.epoch, np.int64),
             "best_score": np.asarray(self.best_score, np.float32),
         }
+        if self.state.ema_params is not None:
+            tree["ema_params"] = self.state.ema_params
         if hasattr(self, "_lora_scale"):
             # persisted so eval/predict/serve can merge WITHOUT the LORA_*
             # config keys (the checkpoint is self-describing)
@@ -323,10 +325,28 @@ class BaseExecutor:
                 opt_state=restored["opt_state"],
                 step=int(restored["step"]),
                 epoch=int(restored["epoch"]),
+                ema_params=restored.get("ema_params", self.state.ema_params),
             )
             self.best_score = float(restored["best_score"])
             log.info(f"###Resumed from {name}_ckp (epoch {int(self.state.epoch)})")
             return
+
+    @staticmethod
+    def _salvage_ema(raw: dict, params):
+        """Params-only resume for an EMA run: keep the checkpoint's saved
+        average when it structurally matches the salvaged params, else
+        re-seed the average from them."""
+        try:
+            ema = jax.tree.map(np.asarray, raw["ema_params"])
+            ok = jax.tree.structure(ema) == jax.tree.structure(params) and all(
+                np.shape(a) == np.shape(b)
+                for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(params))
+            )
+            if ok:
+                return ema
+        except Exception:
+            pass
+        return jax.tree.map(np.array, params)
 
     def _try_params_only_resume(self, name: str) -> bool:
         """Salvage the params from a checkpoint whose full restore failed —
@@ -409,6 +429,13 @@ class BaseExecutor:
             params=params,
             step=int(raw.get("step", 0)),
             epoch=int(raw.get("epoch", 0)),
+            # EMA run resumed from a non-EMA checkpoint: re-seed the average
+            # from the salvaged params (best available estimate); a matching
+            # saved average survives the salvage
+            ema_params=(
+                None if self.state.ema_params is None
+                else self._salvage_ema(raw, params)
+            ),
         )
         self.best_score = float(raw.get("best_score", 0.0))
         log.info(
@@ -426,7 +453,14 @@ class BaseExecutor:
         from . import lora
 
         restored = self.ckpt.restore_raw(loadtype)
-        raw_params = jax.tree.map(np.asarray, restored["params"])
+        # prefer the EMA weights when the checkpoint carries them (that is
+        # what EMA training produces them FOR; EVAL_EMA: false opts out,
+        # e.g. to compare raw vs averaged weights on the same checkpoint)
+        source = "params"
+        if "ema_params" in restored and self.config.get("EVAL_EMA", True):
+            source = "ema_params"
+            log.info("## using EMA weights from the checkpoint")
+        raw_params = jax.tree.map(np.asarray, restored[source])
         if lora.is_composite(raw_params):
             raw_params = lora.merge_lora(
                 raw_params["base"], raw_params["lora"],
@@ -453,6 +487,10 @@ class BaseExecutor:
         self.state = self.state.replace(
             params=place_tree(self.mesh, self.state.params),
             opt_state=place_tree(self.mesh, self.state.opt_state, zero1=zero1),
+            ema_params=(
+                None if self.state.ema_params is None
+                else place_tree(self.mesh, self.state.ema_params)
+            ),
         )
 
     # -- generic train/infer machinery (uniform batch-dict model surface) --------
@@ -534,6 +572,17 @@ class BaseExecutor:
     def _loss_pad_id(self) -> int:
         return self.tokenizer.pad_token_id
 
+    def _ema_decay(self) -> float:
+        """EMA_DECAY in (0, 1): keep an exponential moving average of the
+        params, updated inside the jitted train step (one fused
+        multiply-add over the param tree — HBM traffic comparable to the
+        adam mu update). Checkpoints persist it; eval/predict/serve prefer
+        it (EVAL_EMA: false opts out). 0/absent = off, zero cost."""
+        d = float(self.config.get("EMA_DECAY", 0) or 0)
+        if d and not (0.0 < d < 1.0):
+            raise ValueError(f"EMA_DECAY must be in (0, 1), got {d}")
+        return d
+
     def _grad_accum_steps(self) -> int:
         """``GRAD_ACCUM_STEPS: N`` splits each global batch into N sequential
         microbatches inside ONE jitted step (`lax.scan`), accumulating grads
@@ -589,6 +638,7 @@ class BaseExecutor:
         tx = self.tx
         base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
         accum = self._grad_accum_steps()
+        ema_decay = self._ema_decay()
         if self.config.get("SCAN_LAYERS") and not self.config.get("REMAT"):
             # measured on v5e (docs/DESIGN.md): the scanned train backward
             # saves every block's activations and OOMs at base scale B=32
@@ -606,9 +656,19 @@ class BaseExecutor:
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema_decay and ema is not None:
+                ema = jax.tree.map(
+                    lambda e, p: (
+                        e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+                        if jnp.issubdtype(e.dtype, jnp.floating) else p
+                    ),
+                    ema, params,
+                )
             return (
                 state.replace(
-                    params=params, opt_state=opt_state, step=state.step + 1
+                    params=params, opt_state=opt_state, step=state.step + 1,
+                    ema_params=ema,
                 ),
                 loss,
             )
@@ -716,10 +776,17 @@ class BaseExecutor:
         """bf16 inference weights when the model computes in bf16 (halves the
         weight-read traffic that dominates the decode loop); f32 training
         masters are untouched. Cached per params object: eval calls within an
-        epoch reuse one cast tree instead of re-casting ~1.5 GB per call."""
+        epoch reuse one cast tree instead of re-casting ~1.5 GB per call.
+
+        EMA training decodes with the EMA weights (so mid-train metric eval —
+        and therefore best-checkpoint selection — scores the same weights
+        eval/serve will load); EVAL_EMA: false opts out."""
+        source = self.state.params
+        if self.state.ema_params is not None and self.config.get("EVAL_EMA", True):
+            source = self.state.ema_params
         if getattr(self.model_config.t5, "dtype", None) != jnp.bfloat16:
-            return self._resolve_params(self.state.params)
-        key = (id(self.state.params), int(self.state.step))
+            return self._resolve_params(source)
+        key = (id(source), int(self.state.step))
         cached = getattr(self, "_bf16_params_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -727,7 +794,7 @@ class BaseExecutor:
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32
             else x,
-            self._resolve_params(self.state.params),
+            self._resolve_params(source),
         )
         self._bf16_params_cache = (key, casted)
         return casted

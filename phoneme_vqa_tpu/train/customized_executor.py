@@ -114,7 +114,9 @@ class _CustomizedMixin:
             kind=optimizer_kind_from_config(c),
             freeze_predicate=self._maybe_enable_lora(),
         )
-        self.state = TrainState.create(self.params, self.tx)
+        self.state = TrainState.create(
+            self.params, self.tx, ema=self._ema_decay() > 0
+        )
         self._maybe_resume()
         self.train_step = self._make_train_step()
 
@@ -127,6 +129,7 @@ class _CustomizedMixin:
         freeze_subtrees = self.FREEZE_SUBTREES
         base_rng = jax.random.PRNGKey(self.config.get("SEED", 13))
         accum = self._grad_accum_steps()
+        ema_decay = self._ema_decay()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch, encoder_lr_scale):
@@ -146,9 +149,21 @@ class _CustomizedMixin:
                         )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema_decay and ema is not None:
+                import jax.numpy as jnp
+
+                ema = jax.tree.map(
+                    lambda e, p: (
+                        e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+                        if jnp.issubdtype(e.dtype, jnp.floating) else p
+                    ),
+                    ema, params,
+                )
             return (
                 state.replace(
-                    params=params, opt_state=opt_state, step=state.step + 1
+                    params=params, opt_state=opt_state, step=state.step + 1,
+                    ema_params=ema,
                 ),
                 loss,
             )

@@ -190,6 +190,8 @@ class LaTrExecutor(BaseExecutor):
             kind=optimizer_kind_from_config(c),
             freeze_predicate=self._maybe_enable_lora(),
         )
-        self.state = TrainState.create(self.params, self.tx)
+        self.state = TrainState.create(
+            self.params, self.tx, ema=self._ema_decay() > 0
+        )
         self._maybe_resume()
         self.train_step = self._make_train_step()
