@@ -157,6 +157,9 @@ def main():
     # LORA_RANK knob): frozen base, adapter-only optimizer state, merged
     # weights rebuilt inside the step
     LORA = int(os.environ.get("BENCH_TRAIN_LORA", "0"))
+    # BENCH_TRAIN_EMA=d benches the executors' EMA_DECAY knob: one extra
+    # fused multiply-add over the param tree per step, carried in the scan
+    EMA = float(os.environ.get("BENCH_TRAIN_EMA", "0") or 0)
     lora_scale = 1.0
     if LORA:
         from phoneme_vqa_tpu.train import lora as lora_mod
@@ -212,27 +215,34 @@ def main():
 
     iters = 8
 
+    ema0 = jax.tree.map(jnp.array, params) if EMA else None
+
     @jax.jit
-    def run_many(params, opt_state, batch):
+    def run_many(params, opt_state, ema, batch):
         def body(carry, _):
-            params, opt_state = carry
+            params, opt_state, ema = carry
             loss, grads = value_and_grad(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            if EMA:
+                ema = jax.tree.map(
+                    lambda e, q: e * EMA + q.astype(e.dtype) * (1.0 - EMA),
+                    ema, params,
+                )
+            return (params, opt_state, ema), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=iters
+        (params, opt_state, ema), losses = jax.lax.scan(
+            body, (params, opt_state, ema), None, length=iters
         )
         return losses
 
     t0 = time.perf_counter()
-    losses = np.asarray(run_many(params, opt_state, batch))
+    losses = np.asarray(run_many(params, opt_state, ema0, batch))
     log(f"compile+first: {time.perf_counter() - t0:.1f}s, losses {losses[:3]}")
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        losses = np.asarray(run_many(params, opt_state, batch))
+        losses = np.asarray(run_many(params, opt_state, ema0, batch))
         times.append(time.perf_counter() - t0)
     step_s = float(np.median(times)) / iters
     throughput = B / step_s

@@ -40,13 +40,14 @@ log = get_logger(__name__)
 
 
 class _Request:
-    __slots__ = ("image_id", "question", "future", "t_submit")
+    __slots__ = ("image_id", "question", "future", "t_submit", "deadline")
 
-    def __init__(self, image_id, question):
+    def __init__(self, image_id, question, deadline=None):
         self.image_id = image_id
         self.question = question
         self.future: Future = Future()
         self.t_submit = time.monotonic()
+        self.deadline = deadline  # absolute monotonic time, or None
 
 
 class ServingEngine:
@@ -69,6 +70,13 @@ class ServingEngine:
         pairs (LRU). Decode is deterministic and weights only change through
         :meth:`reload` (which clears the cache), so repeats are answered
         without touching the device.
+    default_deadline_s: >0 gives every request a deadline that many
+        seconds after submission. A request whose deadline passes while it
+        waits in the queue is EXPIRED before featurization/decode (resolved
+        with TimeoutError) instead of burning device time on an answer the
+        client already gave up on — load shedding that keeps an overloaded
+        server's useful throughput flat. Per-request ``deadline_s`` on
+        :meth:`submit` overrides.
     confidence: resolve requests to ``{"answer", "confidence"}`` dicts
         instead of bare answer strings. Confidence is the geometric-mean
         emitted-token probability (exp of the decode loop's mean log-prob —
@@ -89,6 +97,7 @@ class ServingEngine:
         max_queue: int = 0,
         cache_size: int = 0,
         confidence: bool = False,
+        default_deadline_s: float = 0.0,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -97,6 +106,7 @@ class ServingEngine:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_answer_length = int(max_answer_length)
         self.confidence = bool(confidence)
+        self.default_deadline_s = float(default_deadline_s)
         self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
         if obj_df is not None:
@@ -122,6 +132,7 @@ class ServingEngine:
         self._batches = 0
         self._cache_hits = 0
         self._reloads = 0
+        self._expired = 0
         self._latencies_ms: list = []
         self._cache_size = int(cache_size)
         self._cache: "dict" = {}  # (image_id, question) -> answer, LRU order
@@ -138,8 +149,12 @@ class ServingEngine:
 
     # -- client surface -------------------------------------------------------
 
-    def submit(self, image_id, question: str) -> Future:
-        """Enqueue a request; resolves to the answer string."""
+    def submit(self, image_id, question: str, deadline_s: float = None) -> Future:
+        """Enqueue a request; resolves to the answer string (or the
+        ``{"answer", "confidence"}`` dict in confidence mode).
+        ``deadline_s`` (or the engine's ``default_deadline_s``) expires the
+        request with TimeoutError if it is still queued that many seconds
+        from now."""
         with self._lock:  # uniform admission: a stopped engine rejects
             if self._stopped:  # everything, cached answers included
                 raise RuntimeError("engine stopped")
@@ -167,7 +182,10 @@ class ServingEngine:
                     fut: Future = Future()
                     fut.set_result(answer)
                     return fut
-        req = _Request(image_id, question)
+        if deadline_s is None and self.default_deadline_s > 0:
+            deadline_s = self.default_deadline_s
+        deadline = time.monotonic() + deadline_s if deadline_s else None
+        req = _Request(image_id, question, deadline)
         with self._lock:  # pairs with stop(): no enqueue after the sentinel
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -184,8 +202,8 @@ class ServingEngine:
         return self.submit(image_id, question).result(timeout=timeout)
 
     def stats(self) -> dict:
-        """Served/failed counts, batch count, and request-latency percentiles
-        (submit -> resolution, ms) over the last 10k requests."""
+        """Served/failed counts, batch count, queue depth, and request-latency
+        percentiles (submit -> resolution, ms) over the last 10k requests."""
         with self._stats_lock:
             lats = sorted(self._latencies_ms)
             pct = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))] if lats else None
@@ -195,9 +213,45 @@ class ServingEngine:
                 "batches": self._batches,
                 "cache_hits": self._cache_hits,
                 "reloads": self._reloads,
+                "expired": self._expired,
+                "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
             }
+
+    def prometheus_metrics(self) -> str:
+        """:meth:`stats` rendered in the Prometheus text exposition format
+        (served at ``GET /metrics`` by ``serve.py --http``) so a standard
+        scraper monitors the server with zero glue code."""
+        s = self.stats()
+        counters = {
+            "served": "requests answered",
+            "failed": "requests resolved with an error",
+            "batches": "decode batches dispatched",
+            "cache_hits": "requests answered from the LRU cache",
+            "reloads": "hot weight reloads",
+            "expired": "requests shed after their deadline passed in queue",
+        }
+        lines = []
+        for name, help_text in counters.items():
+            lines += [
+                f"# HELP phonovqa_{name}_total {help_text}",
+                f"# TYPE phonovqa_{name}_total counter",
+                f"phonovqa_{name}_total {s[name]}",
+            ]
+        lines += [
+            "# HELP phonovqa_queue_depth requests waiting for a batch slot",
+            "# TYPE phonovqa_queue_depth gauge",
+            f"phonovqa_queue_depth {s['queue_depth']}",
+            "# HELP phonovqa_request_latency_ms submit-to-resolution latency",
+            "# TYPE phonovqa_request_latency_ms summary",
+        ]
+        for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms")):
+            if s[key] is not None:
+                lines.append(
+                    f'phonovqa_request_latency_ms{{quantile="{q}"}} {s[key]:.3f}'
+                )
+        return "\n".join(lines) + "\n"
 
     def reload(self, loadtype: str = "best") -> dict:
         """Hot-swap the serving weights from the checkpoint directory with NO
@@ -283,6 +337,18 @@ class ServingEngine:
             # resolutions below cannot raise InvalidStateError and kill the
             # worker thread
             reqs = [r for r in reqs if r.future.set_running_or_notify_cancel()]
+            # shed expired requests BEFORE featurization/decode: device time
+            # only goes to answers somebody is still waiting for
+            now = time.monotonic()
+            expired = [r for r in reqs if r.deadline and r.deadline < now]
+            reqs = [r for r in reqs if not (r.deadline and r.deadline < now)]
+            for r in expired:
+                r.future.set_exception(
+                    TimeoutError("deadline exceeded while queued")
+                )
+            if expired:
+                with self._stats_lock:
+                    self._expired += len(expired)
             if not reqs:
                 continue
             try:

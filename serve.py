@@ -57,6 +57,10 @@ def parse_args():
                    help=">0 bounds pending requests (backpressure)")
     p.add_argument("--cache-size", type=int, default=0,
                    help=">0 memoizes repeated (image_id, question) answers (LRU)")
+    p.add_argument("--deadline-s", type=float, default=0, metavar="SECONDS",
+                   help=">0 expires requests still queued after this many "
+                        "seconds (load shedding; per-request deadline_s "
+                        "overrides)")
     p.add_argument("--confidence", action="store_true",
                    help="include a confidence field (geometric-mean emitted-"
                         "token probability) in every answer")
@@ -97,6 +101,7 @@ def build_engine(args):
         max_queue=args.max_queue,
         cache_size=args.cache_size,
         confidence=args.confidence,
+        default_deadline_s=args.deadline_s,
     )
 
 
@@ -131,6 +136,15 @@ def make_http_server(engine, port: int):
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, engine.stats())
+            elif self.path == "/metrics":
+                body = engine.prometheus_metrics().encode("utf-8")
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -167,18 +181,21 @@ def make_http_server(engine, port: int):
                 return self._send(
                     400, {"error": "image_id must be a string or number"}
                 )
+            if not isinstance(req.get("deadline_s", 0), (int, float)):
+                return self._send(400, {"error": "deadline_s must be a number"})
             try:
-                ans = engine.answer(
-                    req["image_id"], str(req["question"]), timeout=120
-                )
+                ans = engine.submit(
+                    req["image_id"], str(req["question"]),
+                    deadline_s=req.get("deadline_s"),
+                ).result(timeout=120)
                 # confidence mode resolves to {"answer", "confidence"}
                 self._send(200, ans if isinstance(ans, dict) else {"answer": ans})
             except KeyError as e:  # unknown image
                 self._send(404, {"error": str(e)})
             except RuntimeError as e:  # queue full / engine stopped
                 self._send(503, {"error": str(e)})
-            except FutureTimeout:
-                self._send(504, {"error": "decode timed out"})
+            except FutureTimeout as e:  # expired deadline or a wedged decode
+                self._send(504, {"error": str(e) or "decode timed out"})
             except Exception as e:
                 self._send(500, {"error": str(e)})
 
@@ -268,7 +285,10 @@ def main():
         req = None
         try:
             req = json.loads(raw)
-            fut = engine.submit(req["image_id"], str(req["question"]))
+            fut = engine.submit(
+                req["image_id"], str(req["question"]),
+                deadline_s=req.get("deadline_s") if isinstance(req, dict) else None,
+            )
         except Exception as e:
             rid = req.get("id", i) if isinstance(req, dict) else i
             respond(rid, _failed(e))

@@ -741,3 +741,59 @@ def test_confidence_mode(served):
         assert abs(g["confidence"] - math.exp(s)) < 1e-3
     assert again == got[0]
     assert eng.stats()["cache_hits"] == 1
+
+
+def test_deadline_expiry_and_prometheus_metrics():
+    """A request whose deadline passes while queued is shed with
+    TimeoutError BEFORE decode (never featurized), counted in stats, and
+    exported at /metrics in Prometheus text format."""
+    import time as _time
+
+    decoded = []
+
+    class _Slow:
+        def _make_dataset(self, qa, ocr, obj=None):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            decoded.append(len(ds))
+            _time.sleep(0.4)  # hold the worker so queued deadlines lapse
+            return ["ans"] * len(ds)
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(_Slow(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False) as eng:
+        a = eng.submit(1.0, "first")               # occupies the worker
+        b = eng.submit(2.0, "doomed", deadline_s=0.05)  # expires in queue
+        c = eng.submit(1.0, "patient")             # survives
+        assert a.result(timeout=30) == "ans"
+        with pytest.raises(TimeoutError, match="deadline"):
+            b.result(timeout=30)
+        assert c.result(timeout=30) == "ans"
+    s = eng.stats()
+    assert s["expired"] == 1 and s["served"] == 2
+    assert decoded == [1, 1]  # b was shed before featurization/decode
+    text = eng.prometheus_metrics()
+    assert "phonovqa_expired_total 1" in text
+    assert "phonovqa_served_total 2" in text
+    assert 'phonovqa_request_latency_ms{quantile="0.5"}' in text
+    assert "# TYPE phonovqa_queue_depth gauge" in text
+
+
+def test_default_deadline_applies():
+    """default_deadline_s stamps every submit; an idle engine still answers
+    well inside it (no false expiry)."""
+
+    class _Quick:
+        def _make_dataset(self, qa, ocr, obj=None):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            return ["ok"] * len(ds)
+
+    ocr = pd.DataFrame({"image_id": [1.0]})
+    with ServingEngine(_Quick(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False, default_deadline_s=30) as eng:
+        fut = eng.submit(1.0, "q")
+        assert fut.result(timeout=30) == "ok"
+        assert eng.stats()["expired"] == 0
