@@ -40,14 +40,16 @@ log = get_logger(__name__)
 
 
 class _Request:
-    __slots__ = ("image_id", "question", "future", "t_submit", "deadline")
+    __slots__ = ("image_id", "question", "future", "t_submit", "deadline",
+                 "adapter")
 
-    def __init__(self, image_id, question, deadline=None):
+    def __init__(self, image_id, question, deadline=None, adapter=None):
         self.image_id = image_id
         self.question = question
         self.future: Future = Future()
         self.t_submit = time.monotonic()
         self.deadline = deadline  # absolute monotonic time, or None
+        self.adapter = adapter  # LoRA adapter name, or None = base
 
 
 class ServingEngine:
@@ -77,6 +79,15 @@ class ServingEngine:
         client already gave up on — load shedding that keeps an overloaded
         server's useful throughput flat. Per-request ``deadline_s`` on
         :meth:`submit` overrides.
+    adapters: {name: {"lora": adapter_tree, "scale": float}} — serve
+        several LoRA finetunes off ONE base model (multi-adapter serving).
+        A request naming an adapter decodes with ``base + scale * A@B``
+        merged on the fly; requests are grouped by adapter within each
+        gathered batch, and a switch costs one jitted param-tree
+        multiply-add (~2x params of HBM traffic, on the order of one batch
+        decode) — NOT a second copy of the model in memory. Adapter trees
+        are validated against the base at construction (layout/family
+        mismatches fail fast instead of serving a half-applied model).
     confidence: resolve requests to ``{"answer", "confidence"}`` dicts
         instead of bare answer strings. Confidence is the geometric-mean
         emitted-token probability (exp of the decode loop's mean log-prob —
@@ -98,6 +109,7 @@ class ServingEngine:
         cache_size: int = 0,
         confidence: bool = False,
         default_deadline_s: float = 0.0,
+        adapters: Optional[dict] = None,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -135,7 +147,29 @@ class ServingEngine:
         self._expired = 0
         self._latencies_ms: list = []
         self._cache_size = int(cache_size)
-        self._cache: "dict" = {}  # (image_id, question) -> answer, LRU order
+        self._cache: "dict" = {}  # (image_id, question[, adapter]) -> answer
+        self._adapters = dict(adapters or {})
+        self._active_adapter = None
+        self._adapter_switches = 0
+        if self._adapters:
+            import jax
+
+            from ..train import lora as lora_mod
+
+            self._base_params = self.executor.state.params
+            for name, spec in self._adapters.items():
+                bad = lora_mod.unmatched_adapter_paths(
+                    self._base_params, spec["lora"]
+                )
+                if bad:
+                    raise ValueError(
+                        f"adapter {name!r} does not match the served base "
+                        f"model: {len(bad)} unmatched kernel(s), e.g. "
+                        f"{bad[:3]} — wrong family or SCAN_LAYERS layout?"
+                    )
+            # one jitted merge reused for every switch (retraces only if
+            # adapter tree structures differ)
+            self._merge = jax.jit(lora_mod.merge_lora, static_argnums=(2,))
         if warmup:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable)
@@ -149,12 +183,21 @@ class ServingEngine:
 
     # -- client surface -------------------------------------------------------
 
-    def submit(self, image_id, question: str, deadline_s: float = None) -> Future:
+    def submit(
+        self, image_id, question: str, deadline_s: float = None,
+        adapter: str = None,
+    ) -> Future:
         """Enqueue a request; resolves to the answer string (or the
         ``{"answer", "confidence"}`` dict in confidence mode).
         ``deadline_s`` (or the engine's ``default_deadline_s``) expires the
         request with TimeoutError if it is still queued that many seconds
-        from now."""
+        from now. ``adapter`` decodes with that LoRA adapter merged onto
+        the base (must be a key of the engine's ``adapters``)."""
+        if adapter is not None and adapter not in self._adapters:
+            raise KeyError(
+                f"unknown adapter {adapter!r} (serving "
+                f"{sorted(self._adapters) or 'base only'})"
+            )
         with self._lock:  # uniform admission: a stopped engine rejects
             if self._stopped:  # everything, cached answers included
                 raise RuntimeError("engine stopped")
@@ -173,7 +216,7 @@ class ServingEngine:
             stores = "OCR store" if self.obj_df is None else "OCR+object stores"
             raise KeyError(f"unknown image_id {image_id!r} (not in {stores})")
         if self._cache_size:
-            key = (image_id, question)
+            key = (image_id, question, adapter)
             with self._stats_lock:
                 if key in self._cache:
                     answer = self._cache.pop(key)
@@ -185,7 +228,7 @@ class ServingEngine:
         if deadline_s is None and self.default_deadline_s > 0:
             deadline_s = self.default_deadline_s
         deadline = time.monotonic() + deadline_s if deadline_s else None
-        req = _Request(image_id, question, deadline)
+        req = _Request(image_id, question, deadline, adapter)
         with self._lock:  # pairs with stop(): no enqueue after the sentinel
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -197,9 +240,14 @@ class ServingEngine:
                 ) from None
         return req.future
 
-    def answer(self, image_id, question: str, timeout: Optional[float] = None) -> str:
+    def answer(
+        self, image_id, question: str, timeout: Optional[float] = None,
+        deadline_s: float = None, adapter: str = None,
+    ) -> str:
         """Synchronous convenience wrapper around :meth:`submit`."""
-        return self.submit(image_id, question).result(timeout=timeout)
+        return self.submit(
+            image_id, question, deadline_s=deadline_s, adapter=adapter
+        ).result(timeout=timeout)
 
     def stats(self) -> dict:
         """Served/failed counts, batch count, queue depth, and request-latency
@@ -214,6 +262,7 @@ class ServingEngine:
                 "cache_hits": self._cache_hits,
                 "reloads": self._reloads,
                 "expired": self._expired,
+                "adapter_switches": self._adapter_switches,
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
@@ -231,6 +280,7 @@ class ServingEngine:
             "cache_hits": "requests answered from the LRU cache",
             "reloads": "hot weight reloads",
             "expired": "requests shed after their deadline passed in queue",
+            "adapter_switches": "LoRA adapter merges onto the base weights",
         }
         lines = []
         for name, help_text in counters.items():
@@ -267,6 +317,11 @@ class ServingEngine:
                 raise RuntimeError("engine stopped")
         t0 = time.monotonic()
         self.executor._load_trained_checkpoint(loadtype)
+        # the reloaded weights are the new BASE; adapters re-merge onto it
+        # lazily at the next adapter-routed batch
+        if self._adapters:
+            self._base_params = self.executor.state.params
+            self._active_adapter = None
         with self._stats_lock:
             self._cache.clear()
             self._reloads += 1
@@ -290,6 +345,27 @@ class ServingEngine:
         self.stop()
 
     # -- worker ---------------------------------------------------------------
+
+    def _activate(self, adapter) -> None:
+        """Swap the executor onto ``adapter`` (None = base): one jitted
+        param-tree multiply-add per switch, skipped when the adapter is
+        already active. Runs only on the worker thread (no lock needed —
+        the executor's params are read by infer on this same thread)."""
+        if not self._adapters or adapter == self._active_adapter:
+            return
+        if adapter is None:
+            params = self._base_params
+        else:
+            spec = self._adapters[adapter]
+            params = self._merge(
+                self._base_params, spec["lora"], float(spec["scale"])
+            )
+        self.executor.state = self.executor.state.replace(params=params)
+        self.executor._bf16_params_cache = None
+        self._active_adapter = adapter
+        with self._stats_lock:
+            self._adapter_switches += 1
+
 
     def _collect(self) -> List[_Request]:
         item = self._queue.get()
@@ -351,41 +427,60 @@ class ServingEngine:
                     self._expired += len(expired)
             if not reqs:
                 continue
-            try:
-                ds = self._featurize(reqs)
-                if len(ds) != len(reqs):
-                    raise RuntimeError(
-                        f"featurization dropped rows: {len(ds)} != {len(reqs)}"
-                    )
-                answers = self.executor.infer(
-                    ds, self.batch_size, self.max_answer_length,
-                    return_scores=self.confidence,
-                )
-                if self.confidence:
-                    answers = [
-                        {"answer": a, "confidence": round(math.exp(s), 4)}
-                        for a, s in zip(*answers)
-                    ]
-            except Exception as e:  # resolve the whole batch with the error
-                log.warning(f"serving batch of {len(reqs)} failed: {e!r}")
+            # multi-adapter: decode per adapter group (FIFO order preserved
+            # within each group; one merge per switch, not per request)
+            groups = [reqs]
+            if self._adapters:
+                by_adapter: dict = {}
                 for r in reqs:
-                    r.future.set_exception(e)
-                with self._stats_lock:
-                    self._failed += len(reqs)
-                    self._batches += 1
+                    by_adapter.setdefault(r.adapter, []).append(r)
+                groups = list(by_adapter.values())
+            answers_by_req: dict = {}
+            n_ok_groups = 0
+            for group in groups:
+                try:
+                    self._activate(group[0].adapter)
+                    ds = self._featurize(group)
+                    if len(ds) != len(group):
+                        raise RuntimeError(
+                            f"featurization dropped rows: {len(ds)} != {len(group)}"
+                        )
+                    answers = self.executor.infer(
+                        ds, self.batch_size, self.max_answer_length,
+                        return_scores=self.confidence,
+                    )
+                    if self.confidence:
+                        answers = [
+                            {"answer": a, "confidence": round(math.exp(s), 4)}
+                            for a, s in zip(*answers)
+                        ]
+                except Exception as e:  # resolve this group with the error
+                    log.warning(f"serving batch of {len(group)} failed: {e!r}")
+                    for r in group:
+                        r.future.set_exception(e)
+                    with self._stats_lock:
+                        self._failed += len(group)
+                        self._batches += 1
+                    continue
+                n_ok_groups += 1
+                for r, a in zip(group, answers):
+                    answers_by_req[r] = a
+            reqs = [r for r in reqs if r in answers_by_req]
+            if not reqs:
                 continue
+            answers = [answers_by_req[r] for r in reqs]
             now = time.monotonic()
             for r, a in zip(reqs, answers):
                 r.future.set_result(a)
             with self._stats_lock:
                 self._served += len(reqs)
-                self._batches += 1
+                self._batches += n_ok_groups
                 self._latencies_ms.extend(
                     (now - r.t_submit) * 1e3 for r in reqs
                 )
                 del self._latencies_ms[:-10000]
                 if self._cache_size:
                     for r, a in zip(reqs, answers):
-                        self._cache[(r.image_id, r.question)] = a
+                        self._cache[(r.image_id, r.question, r.adapter)] = a
                     while len(self._cache) > self._cache_size:
                         self._cache.pop(next(iter(self._cache)))

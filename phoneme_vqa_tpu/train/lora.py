@@ -146,6 +146,39 @@ def resolve(params, scale: float):
     return params
 
 
+def unmatched_adapter_paths(base, lora) -> list:
+    """Adapter leaves with no matching base kernel (path missing, or the
+    (in, out) dims disagree — e.g. an adapter trained under the other
+    SCAN_LAYERS layout or a different model family). ``merge_lora`` silently
+    skips unmatched subtrees, so callers that accept external adapters
+    (multi-adapter serving) must reject on a non-empty result instead of
+    serving a half-applied model."""
+    bad: list = []
+
+    def walk(b, l, path):
+        if isinstance(l, dict) and set(l.keys()) == {"a", "b"} and not isinstance(
+            b, dict
+        ):
+            la, lb = np.shape(l["a"]), np.shape(l["b"])
+            ok = (
+                b is not None
+                and np.shape(b)[:-2] == la[:-2]
+                and np.shape(b)[-2] == la[-2]
+                and np.shape(b)[-1] == lb[-1]
+            )
+            if not ok:
+                bad.append(path)
+            return
+        for k in l:
+            walk(
+                b.get(k) if isinstance(b, dict) else None,
+                l[k], f"{path}/{k}" if path else k,
+            )
+
+    walk(base, lora, "")
+    return bad
+
+
 def freeze_base_predicate(path) -> bool:
     """`build_optimizer` freeze predicate for the composite tree: every leaf
     under the top-level "base" key is frozen (optax allocates no state for

@@ -61,6 +61,13 @@ def parse_args():
                    help=">0 expires requests still queued after this many "
                         "seconds (load shedding; per-request deadline_s "
                         "overrides)")
+    p.add_argument("--adapter", action="append", default=[],
+                   metavar="NAME=CKPT_DIR",
+                   help="serve a LoRA adapter from a composite checkpoint "
+                        "directory under NAME (repeatable); requests select "
+                        'it with an "adapter" field. One base model, many '
+                        "finetunes — a switch merges on the fly, no model "
+                        "copies")
     p.add_argument("--confidence", action="store_true",
                    help="include a confidence field (geometric-mean emitted-"
                         "token probability) in every answer")
@@ -93,6 +100,13 @@ def build_engine(args):
         ex._place_state()
     ocr_df, obj_df = ex.serve_frames
     max_len = args.max_length or int(config.get("max_predict_length", 20))
+    adapters = {}
+    for spec in args.adapter:
+        name, _, path = spec.partition("=")
+        if not name or not path:
+            raise SystemExit(f"--adapter expects NAME=CKPT_DIR, got {spec!r}")
+        adapters[name] = load_adapter(path)
+        log.info(f"## adapter {name!r} loaded from {path}")
     return ServingEngine(
         ex, ocr_df, obj_df,
         batch_size=args.batch_size,
@@ -102,7 +116,29 @@ def build_engine(args):
         cache_size=args.cache_size,
         confidence=args.confidence,
         default_deadline_s=args.deadline_s,
+        adapters=adapters or None,
     )
+
+
+def load_adapter(ckpt_dir: str) -> dict:
+    """{"lora", "scale"} from a composite LoRA checkpoint directory (a
+    LORA_RANK training run's SAVE_PATH; best_ckp preferred, then last_ckp)."""
+    from phoneme_vqa_tpu.train import lora as lora_mod
+    from phoneme_vqa_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(ckpt_dir)
+    name = "best" if ckpt.exists("best") else "last"
+    raw = ckpt.restore_raw(name)
+    params = raw["params"]
+    if not lora_mod.is_composite(params):
+        raise SystemExit(
+            f"{ckpt_dir}/{name}_ckp is not a LoRA composite checkpoint "
+            "(train it with LORA_RANK to produce adapters)"
+        )
+    return {
+        "lora": params["lora"],
+        "scale": float(raw.get("lora_scale", 1.0)),
+    }
 
 
 def make_http_server(engine, port: int):
@@ -183,10 +219,15 @@ def make_http_server(engine, port: int):
                 )
             if not isinstance(req.get("deadline_s", 0), (int, float)):
                 return self._send(400, {"error": "deadline_s must be a number"})
+            if req.get("adapter") is not None and not isinstance(
+                req["adapter"], str
+            ):
+                return self._send(400, {"error": "adapter must be a string"})
             try:
                 ans = engine.submit(
                     req["image_id"], str(req["question"]),
                     deadline_s=req.get("deadline_s"),
+                    adapter=req.get("adapter"),
                 ).result(timeout=120)
                 # confidence mode resolves to {"answer", "confidence"}
                 self._send(200, ans if isinstance(ans, dict) else {"answer": ans})
@@ -288,6 +329,7 @@ def main():
             fut = engine.submit(
                 req["image_id"], str(req["question"]),
                 deadline_s=req.get("deadline_s") if isinstance(req, dict) else None,
+                adapter=req.get("adapter") if isinstance(req, dict) else None,
             )
         except Exception as e:
             rid = req.get("id", i) if isinstance(req, dict) else i
