@@ -88,6 +88,12 @@ class ServingEngine:
         decode) — NOT a second copy of the model in memory. Adapter trees
         are validated against the base at construction (layout/family
         mismatches fail fast instead of serving a half-applied model).
+    buckets: ascending decode-batch shapes (e.g. ``[1, 4]``) compiled at
+        warmup alongside ``batch_size``; each gathered batch decodes at the
+        smallest bucket that fits, so a lone request under light load rides
+        the latency-optimal small executable instead of padding to the full
+        throughput shape. Bucket sizes are rounded up to the mesh's data
+        axis. Default: single shape (``[batch_size]``).
     confidence: resolve requests to ``{"answer", "confidence"}`` dicts
         instead of bare answer strings. Confidence is the geometric-mean
         emitted-token probability (exp of the decode loop's mean log-prob —
@@ -110,11 +116,13 @@ class ServingEngine:
         confidence: bool = False,
         default_deadline_s: float = 0.0,
         adapters: Optional[dict] = None,
+        buckets: Optional[list] = None,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
         self.obj_df = obj_df
         self.batch_size = int(batch_size)
+        self.buckets = self._resolve_buckets(buckets)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_answer_length = int(max_answer_length)
         self.confidence = bool(confidence)
@@ -148,6 +156,7 @@ class ServingEngine:
         self._latencies_ms: list = []
         self._cache_size = int(cache_size)
         self._cache: "dict" = {}  # (image_id, question[, adapter]) -> answer
+        self._bucket_batches: dict = {}  # decode-batch shape -> count
         self._adapters = dict(adapters or {})
         self._active_adapter = None
         self._adapter_switches = 0
@@ -172,14 +181,35 @@ class ServingEngine:
             self._merge = jax.jit(lora_mod.merge_lora, static_argnums=(2,))
         if warmup:
             # pay the XLA compile before accepting traffic, not on the first
-            # client request (compiles the fixed-shape generate executable)
+            # client request (compiles the fixed-shape generate executable —
+            # one per latency bucket)
             ds = self._featurize([_Request(next(iter(self._known_ids)), "")])
-            self.executor.infer(
-                ds, self.batch_size, self.max_answer_length,
-                return_scores=self.confidence,
-            )
+            for bucket in self.buckets:
+                self.executor.infer(
+                    ds, bucket, self.max_answer_length,
+                    return_scores=self.confidence,
+                )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _resolve_buckets(self, buckets) -> list:
+        """Ascending decode-batch shapes ending at ``batch_size``. None (the
+        default) keeps the single-shape engine. Each bucket is rounded UP to
+        a multiple of the mesh's data axis so a small batch never trips
+        ``shard_batch``'s replicated fallback, then clipped to batch_size
+        and deduped."""
+        if not buckets:
+            return [self.batch_size]
+        dp = int(self.executor.mesh.shape.get("data", 1))
+        out = set()
+        for b in buckets:
+            b = int(b)
+            if b <= 0:
+                raise ValueError(f"bucket sizes must be positive, got {b}")
+            b = min(self.batch_size, -(-b // dp) * dp)
+            out.add(b)
+        out.add(self.batch_size)
+        return sorted(out)
 
     # -- client surface -------------------------------------------------------
 
@@ -263,6 +293,9 @@ class ServingEngine:
                 "reloads": self._reloads,
                 "expired": self._expired,
                 "adapter_switches": self._adapter_switches,
+                "bucket_batches": {
+                    str(k): v for k, v in sorted(self._bucket_batches.items())
+                },
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
@@ -288,6 +321,16 @@ class ServingEngine:
                 f"# HELP phonovqa_{name}_total {help_text}",
                 f"# TYPE phonovqa_{name}_total counter",
                 f"phonovqa_{name}_total {s[name]}",
+            ]
+        if s["bucket_batches"]:
+            lines += [
+                "# HELP phonovqa_bucket_batches_total decoded batches per "
+                "compiled batch shape",
+                "# TYPE phonovqa_bucket_batches_total counter",
+            ]
+            lines += [
+                f'phonovqa_bucket_batches_total{{size="{k}"}} {v}'
+                for k, v in s["bucket_batches"].items()
             ]
         lines += [
             "# HELP phonovqa_queue_depth requests waiting for a batch slot",
@@ -437,6 +480,7 @@ class ServingEngine:
                 groups = list(by_adapter.values())
             answers_by_req: dict = {}
             n_ok_groups = 0
+            buckets_used: list = []
             for group in groups:
                 try:
                     self._activate(group[0].adapter)
@@ -445,8 +489,14 @@ class ServingEngine:
                         raise RuntimeError(
                             f"featurization dropped rows: {len(ds)} != {len(group)}"
                         )
+                    # smallest warmed bucket that fits: a lone request rides
+                    # the latency-optimal small executable instead of padding
+                    # to the full throughput shape
+                    bucket = next(
+                        b for b in self.buckets if b >= len(group)
+                    )
                     answers = self.executor.infer(
-                        ds, self.batch_size, self.max_answer_length,
+                        ds, bucket, self.max_answer_length,
                         return_scores=self.confidence,
                     )
                     if self.confidence:
@@ -463,6 +513,7 @@ class ServingEngine:
                         self._batches += 1
                     continue
                 n_ok_groups += 1
+                buckets_used.append(bucket)
                 for r, a in zip(group, answers):
                     answers_by_req[r] = a
             reqs = [r for r in reqs if r in answers_by_req]
@@ -475,6 +526,8 @@ class ServingEngine:
             with self._stats_lock:
                 self._served += len(reqs)
                 self._batches += n_ok_groups
+                for b in buckets_used:
+                    self._bucket_batches[b] = self._bucket_batches.get(b, 0) + 1
                 self._latencies_ms.extend(
                     (now - r.t_submit) * 1e3 for r in reqs
                 )

@@ -50,7 +50,7 @@ BASE_DIMS = dict(
 )
 
 
-def build_engine(work: str, batch: int, max_queue: int = 0):
+def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None):
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
@@ -72,6 +72,7 @@ def build_engine(work: str, batch: int, max_queue: int = 0):
     eng = ServingEngine(
         ex, ocr_df, batch_size=batch, max_wait_ms=30.0,
         max_answer_length=20, warmup=True, max_queue=max_queue,
+        buckets=buckets,
     )
     log(f"engine up (warmup compile {time.perf_counter() - t0:.1f}s)")
     ids = sorted(eng._known_ids)
@@ -136,11 +137,31 @@ def open_loop(eng, ids, rate: float, duration: float, seed: int = 0):
     }
 
 
+def lone_latency(eng, ids, n: int = 20) -> dict:
+    """Closed-loop lone requests (each batch holds exactly one): the
+    light-load latency point the bucket ladder exists to improve."""
+    lat = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        eng.answer(ids[i % len(ids)], f"lone #{i}", timeout=600)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    return {
+        "n": n,
+        "p50_ms": round(lat[n // 2], 1),
+        "min_ms": round(lat[0], 1),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--duration", type=float, default=30.0)
     p.add_argument("--work", default="/tmp/bench_serving")
+    p.add_argument("--lone", type=int, default=0, metavar="N",
+                   help="measure N lone-request latencies with the single "
+                        "--batch shape vs a [1, --batch] bucket ladder, "
+                        "then exit (skips the load sweep)")
     args = p.parse_args()
 
     try:
@@ -154,6 +175,25 @@ def main():
     log(f"devices: {jax.devices()}")
 
     os.makedirs(args.work, exist_ok=True)
+    if args.lone:
+        eng, ids = build_engine(args.work, args.batch)
+        plain = lone_latency(eng, ids, args.lone)
+        eng.stop()
+        eng, ids = build_engine(
+            args.work + "_bk", args.batch, buckets=[1]
+        )
+        bucketed = lone_latency(eng, ids, args.lone)
+        bucketed["bucket_batches"] = eng.stats()["bucket_batches"]
+        eng.stop()
+        print(json.dumps({
+            "bench": "serving_lone_request_latency",
+            "batch": args.batch,
+            "buckets_off": plain,
+            "buckets_on": bucketed,
+            "speedup_p50": round(plain["p50_ms"] / bucketed["p50_ms"], 2),
+        }, indent=2))
+        return
+
     eng, ids = build_engine(args.work, args.batch)
     cap = flood_capacity(eng, ids)
 

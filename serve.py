@@ -48,6 +48,12 @@ def parse_args():
                    help="checkpoint to serve ('none' = random init, for tests)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--buckets", default=None, metavar="N,N,...",
+                   help="extra decode-batch shapes compiled at warmup (e.g. "
+                        "'1,4'); each gathered batch decodes at the smallest "
+                        "bucket that fits, cutting lone-request latency "
+                        "under light load. 'auto' = powers of 4 up to "
+                        "--batch-size")
     p.add_argument("--max-length", type=int, default=None,
                    help="decode length cap (default: config.max_predict_length)")
     p.add_argument("--http", type=int, default=None, metavar="PORT",
@@ -117,7 +123,19 @@ def build_engine(args):
         confidence=args.confidence,
         default_deadline_s=args.deadline_s,
         adapters=adapters or None,
+        buckets=parse_buckets(args.buckets, args.batch_size),
     )
+
+
+def parse_buckets(spec, batch_size: int):
+    if not spec:
+        return None
+    if spec == "auto":  # 1, 4, 16, ... below batch_size
+        return [b for b in (4**i for i in range(8)) if b < batch_size]
+    try:
+        return [int(b) for b in spec.split(",") if b.strip()]
+    except ValueError:
+        raise SystemExit(f"--buckets expects N,N,... or 'auto', got {spec!r}")
 
 
 def load_adapter(ckpt_dir: str) -> dict:

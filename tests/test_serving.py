@@ -178,6 +178,65 @@ def test_admission_edge_cases():
         assert eng.answer(2.0, "q", timeout=30) == "ans"
 
 
+def test_latency_buckets_match_direct_infer(served, tmp_path):
+    """Bucketed engine answers == the single-shape production path, and a
+    lone request decodes at the smallest compiled bucket. Pinned to a
+    1-device mesh: under the 8-device conftest the default mesh's data
+    axis would round every bucket up to the full shape."""
+    ex, ocr_df, config, paths = served
+    qa = pd.read_csv(paths["val"])
+    want = ex.infer(ex.val_data, 4, 10)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10, MESH={"data": 1},
+    )
+    ex1 = EXECUTORS.get(config.EXECUTOR)(get_config(yaml_path), mode="eval")
+    ex1.state = ex1.state.replace(params=ex.state.params)
+    ex1._place_state()
+    with ServingEngine(ex1, ocr_df, batch_size=4, max_wait_ms=20,
+                       max_answer_length=10, buckets=[1, 2]) as eng:
+        assert eng.buckets == [1, 2, 4]
+        row = next(qa.itertuples())
+        lone = eng.answer(row.image_id, row.question, timeout=120)
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=120) for f in futs]
+        s = eng.stats()
+    assert lone == want[0]
+    assert got == want
+    # the lone request rode the B=1 executable, the burst a bigger one
+    assert s["bucket_batches"].get("1") >= 1
+    assert sum(s["bucket_batches"].values()) == s["batches"]
+
+
+def test_bucket_resolution_respects_mesh():
+    """Bucket sizes round up to the data axis (never trip the replicated-
+    sharding fallback), dedupe, and always end at batch_size."""
+
+    class _Stub:
+        mesh = type("M", (), {"shape": {"data": 2, "model": 1}})()
+
+        def __init__(self):
+            self.calls = []
+
+        def _make_dataset(self, qa, ocr, obj=None):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            self.calls.append((len(ds), bs))
+            return ["ans"] * len(ds)
+
+    stub = _Stub()
+    store = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(stub, store, batch_size=8, max_wait_ms=1,
+                       warmup=False, buckets=[1, 3, 99]) as eng:
+        assert eng.buckets == [2, 4, 8]
+        assert eng.answer(1.0, "q", timeout=30) == "ans"
+    assert stub.calls == [(1, 2)]  # lone request → smallest (rounded) bucket
+
+    with pytest.raises(ValueError, match="positive"):
+        ServingEngine(stub, store, warmup=False, buckets=[0])
+
+
 def test_serve_mode_requires_trained_bpe_vocab(tmp_path):
     """BPE serving must load the persisted vocab — a missing vocab file is a
     hard error, never a silent empty-corpus training run."""
