@@ -23,6 +23,7 @@ from .optim import (
     build_optimizer,
     linear_warmup_schedule,
     mu_dtype_from_config,
+    optimizer_extras_from_config,
     optimizer_kind_from_config,
 )
 from .prestu_executor import PreSTUExecutor
@@ -113,6 +114,7 @@ class _CustomizedMixin:
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),
             freeze_predicate=self._maybe_enable_lora(),
+            **optimizer_extras_from_config(c),
         )
         self.state = TrainState.create(
             self.params, self.tx, ema=self._ema_decay() > 0

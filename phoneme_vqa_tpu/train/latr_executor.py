@@ -25,6 +25,7 @@ from .optim import (
     build_optimizer,
     epoch_decay_schedule,
     mu_dtype_from_config,
+    optimizer_extras_from_config,
     optimizer_kind_from_config,
 )
 from .state import TrainState
@@ -189,6 +190,7 @@ class LaTrExecutor(BaseExecutor):
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),
             freeze_predicate=self._maybe_enable_lora(),
+            **optimizer_extras_from_config(c),
         )
         self.state = TrainState.create(
             self.params, self.tx, ema=self._ema_decay() > 0

@@ -48,6 +48,8 @@ def build_optimizer(
     freeze_predicate: Optional[Callable[[tuple], bool]] = None,
     mu_dtype=None,
     kind: str = "adam",
+    grad_clip: Optional[float] = None,
+    weight_decay: float = 0.0,
 ):
     """Optimizer with schedule; optionally zero updates for frozen subtrees
     (optax.masked equivalent of the reference's requires_grad freeze).
@@ -58,22 +60,39 @@ def build_optimizer(
       (YAML ``OPT_MU_DTYPE: bfloat16``) stores the first moment in a reduced
       dtype: -25 % optimizer memory and HBM traffic per step. The second
       moment stays f32 (its rsqrt needs the dynamic range).
+    * ``adamw`` — adam with decoupled weight decay (``WEIGHT_DECAY``, also
+      implied by ``OPTIMIZER: adam`` + ``WEIGHT_DECAY > 0``).
     * ``adafactor`` — the T5-native memory-light optimizer: factored second
       moments (row+col vectors instead of a full matrix per weight) and no
       first moment, cutting the optimizer state from 2x params to ~zero and
       with it the per-step optimizer HBM traffic that bounds the train step
       (docs/DESIGN.md). ``multiply_by_parameter_scale=False`` so the YAML
-      ``LR`` means what it says (betas/eps are adam-only and ignored)."""
+      ``LR`` means what it says (betas/eps are adam-only and ignored).
+
+    ``grad_clip`` (YAML ``GRAD_CLIP``): global-norm gradient clipping applied
+    before the update rule — the clip sees the full (accumulated, mesh-summed)
+    gradient, so the threshold means the same thing at any GRAD_ACCUM/mesh
+    layout. The reference has no clipping; this is an additive stability knob.
+    """
     if kind == "adafactor":
         tx = optax.adafactor(
-            lr_schedule, multiply_by_parameter_scale=False, momentum=None
+            lr_schedule, multiply_by_parameter_scale=False, momentum=None,
+            weight_decay_rate=weight_decay or None,
         )
-    elif kind == "adam":
-        tx = optax.adam(
-            lr_schedule, b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
-        )
+    elif kind in ("adam", "adamw"):
+        if kind == "adamw" or weight_decay:
+            tx = optax.adamw(
+                lr_schedule, b1=betas[0], b2=betas[1], eps=eps,
+                mu_dtype=mu_dtype, weight_decay=weight_decay,
+            )
+        else:
+            tx = optax.adam(
+                lr_schedule, b1=betas[0], b2=betas[1], eps=eps, mu_dtype=mu_dtype
+            )
     else:
-        raise ValueError(f"unknown OPTIMIZER {kind!r} (adam | adafactor)")
+        raise ValueError(f"unknown OPTIMIZER {kind!r} (adam | adamw | adafactor)")
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
     if freeze_predicate is None:
         return tx
 
@@ -99,8 +118,18 @@ def mu_dtype_from_config(config):
 
 
 def optimizer_kind_from_config(config) -> str:
-    """YAML ``OPTIMIZER`` ('adam' | 'adafactor'); default adam."""
+    """YAML ``OPTIMIZER`` ('adam' | 'adamw' | 'adafactor'); default adam."""
     return str(config.get("OPTIMIZER", "adam") or "adam").lower()
+
+
+def optimizer_extras_from_config(config) -> dict:
+    """YAML ``GRAD_CLIP`` (float global-norm threshold, 0/absent = off) and
+    ``WEIGHT_DECAY`` (decoupled decay rate, 0/absent = off) ->
+    `build_optimizer` kwargs."""
+    return {
+        "grad_clip": float(config.get("GRAD_CLIP", 0) or 0) or None,
+        "weight_decay": float(config.get("WEIGHT_DECAY", 0) or 0),
+    }
 
 
 def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int):

@@ -107,6 +107,85 @@ def test_adafactor_knob_factored_state_and_descent():
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_grad_clip_caps_update_to_global_norm():
+    """GRAD_CLIP: a huge gradient produces the same update as the same
+    direction scaled to the clip threshold — and small grads are untouched."""
+    params = _tiny_tree()
+    clipped = build_optimizer(lambda s: 1e-3, grad_clip=1.0)
+    plain = build_optimizer(lambda s: 1e-3)
+
+    big = jax.tree.map(lambda p: 1e6 * jnp.ones_like(p), params)
+    gnorm = optax.global_norm(big)
+    scaled = jax.tree.map(lambda g: g / gnorm, big)  # norm exactly 1.0
+
+    u_clip, _ = clipped.update(big, clipped.init(params), params)
+    u_ref, _ = plain.update(scaled, plain.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_clip), jax.tree.leaves(u_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    small = jax.tree.map(lambda p: 1e-3 * jnp.ones_like(p), params)
+    u_small_clip, _ = clipped.update(small, clipped.init(params), params)
+    u_small, _ = plain.update(small, plain.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_small_clip), jax.tree.leaves(u_small)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_weight_decay_decays_params():
+    """WEIGHT_DECAY > 0 (adam -> adamw): with zero gradients the update
+    still pulls params toward zero at lr * wd; plain adam leaves a tiny
+    eps-driven drift instead."""
+    params = {"w": jnp.full((4, 3), 2.0, jnp.float32)}
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    wd = build_optimizer(lambda s: 1e-1, weight_decay=1e-2)
+    u, _ = wd.update(zeros, wd.init(params), params)
+    # decoupled decay: update = -lr * wd * param = -0.1 * 0.01 * 2 = -2e-3
+    np.testing.assert_allclose(np.asarray(u["w"]), -2e-3, rtol=1e-5)
+
+    plain = build_optimizer(lambda s: 1e-1)
+    u0, _ = plain.update(zeros, plain.init(params), params)
+    assert np.allclose(np.asarray(u0["w"]), 0.0, atol=1e-8)
+
+
+def test_adafactor_weight_decay_and_extras_from_config():
+    from phoneme_vqa_tpu.train.optim import optimizer_extras_from_config
+
+    class _C(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    assert optimizer_extras_from_config(_C()) == {
+        "grad_clip": None, "weight_decay": 0.0,
+    }
+    assert optimizer_extras_from_config(_C(GRAD_CLIP=1.0, WEIGHT_DECAY=0.01)) == {
+        "grad_clip": 1.0, "weight_decay": 0.01,
+    }
+
+    params = {"w": jnp.full((64, 48), 2.0, jnp.float32)}
+    tx = build_optimizer(lambda s: 1e-1, kind="adafactor", weight_decay=1e-2)
+    u, _ = tx.update(jax.tree.map(jnp.zeros_like, params), tx.init(params), params)
+    assert np.all(np.asarray(u["w"]) < 0), "adafactor weight decay did not engage"
+
+
+def test_grad_clip_through_executor(tmp_path):
+    """GRAD_CLIP through the real executor: trains + checkpoints cleanly."""
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, GRAD_CLIP=1.0,
+        WEIGHT_DECAY=0.01,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ex.run()
+    assert int(ex.state.epoch) == 1
+
+
 def test_build_optimizer_rejects_unknown_kind():
     import pytest
 
