@@ -567,10 +567,21 @@ class BaseExecutor:
             deterministic=dropout_rng is None,
             rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
-        return cross_entropy_loss(logits, labels[:, 1:], self._loss_pad_id())
+        return cross_entropy_loss(
+            logits, labels[:, 1:], self._loss_pad_id(),
+            label_smoothing=self._label_smoothing(),
+        )
 
     def _loss_pad_id(self) -> int:
         return self.tokenizer.pad_token_id
+
+    def _label_smoothing(self) -> float:
+        """YAML ``LABEL_SMOOTHING`` in [0, 1): smoothed-target CE (the
+        standard T5 recipe uses 0.1). 0/absent = the reference's plain CE."""
+        a = float(self.config.get("LABEL_SMOOTHING", 0) or 0)
+        if a and not (0.0 < a < 1.0):
+            raise ValueError(f"LABEL_SMOOTHING must be in [0, 1), got {a}")
+        return a
 
     def _ema_decay(self) -> float:
         """EMA_DECAY in (0, 1): keep an exponential moving average of the

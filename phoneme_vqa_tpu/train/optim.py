@@ -132,10 +132,25 @@ def optimizer_extras_from_config(config) -> dict:
     }
 
 
-def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int):
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    pad_id: int,
+    label_smoothing: float = 0.0,
+):
     """Token-mean CE over non-pad targets (torch CrossEntropyLoss
-    ignore_index semantics). logits (..., V) f32, targets (...) int."""
+    ignore_index semantics). logits (..., V) f32, targets (...) int.
+
+    ``label_smoothing`` (YAML ``LABEL_SMOOTHING``, e.g. 0.1 — the standard
+    T5 recipe): smoothed target = (1-a)·one_hot + a/V. Implemented without
+    materializing the one-hot: the smoothed CE is
+    (1-a)·NLL(target) - (a/V)·sum(logp), one extra reduction over logits
+    the existing log_softmax already touched — no extra HBM pass."""
     mask = (targets != pad_id).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing:
+        a = float(label_smoothing)
+        v = logits.shape[-1]
+        ll = (1.0 - a) * ll + (a / v) * logp.sum(axis=-1)
     return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)

@@ -83,10 +83,11 @@ class _PhonemeTripleExecMixin(_CustomizedMixin):
             rngs=None if dropout_rng is None else {"dropout": dropout_rng},
         )
         pad = self.decode_tokenizer.pad_id
+        ls = self._label_smoothing()
         return (
-            cross_entropy_loss(onset, labels[:, 1:, 0], pad)
-            + cross_entropy_loss(rhyme, labels[:, 1:, 1], pad)
-            + cross_entropy_loss(tone, labels[:, 1:, 2], pad)
+            cross_entropy_loss(onset, labels[:, 1:, 0], pad, label_smoothing=ls)
+            + cross_entropy_loss(rhyme, labels[:, 1:, 1], pad, label_smoothing=ls)
+            + cross_entropy_loss(tone, labels[:, 1:, 2], pad, label_smoothing=ls)
         )
 
     def _build_generate_fn(self, max_length: int, with_scores: bool = False):

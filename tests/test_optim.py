@@ -186,6 +186,65 @@ def test_grad_clip_through_executor(tmp_path):
     assert int(ex.state.epoch) == 1
 
 
+def test_label_smoothing_matches_explicit_onehot_form():
+    """The reduction-form smoothed CE equals the textbook smoothed-one-hot
+    cross entropy, and a=0 reproduces plain CE exactly."""
+    from phoneme_vqa_tpu.train.optim import cross_entropy_loss
+
+    rng = np.random.RandomState(0)
+    V, pad = 11, 0
+    logits = jnp.asarray(rng.randn(4, 7, V), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, V, (4, 7)), jnp.int32)
+    a = 0.1
+
+    got = float(cross_entropy_loss(logits, targets, pad, label_smoothing=a))
+
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    onehot = np.eye(V)[np.asarray(targets)]
+    smoothed = (1 - a) * onehot + a / V
+    mask = (np.asarray(targets) != pad).astype(np.float32)
+    want = -(smoothed * logp).sum(-1) * mask
+    want = want.sum() / mask.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    plain = float(cross_entropy_loss(logits, targets, pad))
+    plain0 = float(cross_entropy_loss(logits, targets, pad, label_smoothing=0.0))
+    assert plain == plain0
+    assert got > plain  # smoothing adds entropy penalty at random logits
+
+
+def test_label_smoothing_through_executor(tmp_path):
+    """LABEL_SMOOTHING through the real executor: the epoch-1 train loss
+    differs from the unsmoothed run (knob actually reaches the jitted loss),
+    and an out-of-range value fails fast."""
+    import pytest
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+
+    def train_loss(tag, **kw):
+        yaml_path = tiny_latr_yaml(paths, str(tmp_path / tag), NUM_EPOCHS=1, **kw)
+        ex = EXECUTORS.get("LaTr_Executor")(get_config(yaml_path), mode="train")
+        ex.run()
+        import json
+        line = open(str(tmp_path / tag / "metrics.jsonl")).readline()
+        return json.loads(line)["train_loss"]
+
+    smooth = train_loss("ls", LABEL_SMOOTHING=0.1)
+    plain = train_loss("nols")
+    assert abs(smooth - plain) > 1e-4, (smooth, plain)
+
+    bad = tiny_latr_yaml(paths, str(tmp_path / "bad"), LABEL_SMOOTHING=1.5)
+    ex = EXECUTORS.get("LaTr_Executor")(get_config(bad), mode="train")
+    with pytest.raises(ValueError, match="LABEL_SMOOTHING"):
+        ex.run()
+
+
 def test_build_optimizer_rejects_unknown_kind():
     import pytest
 
