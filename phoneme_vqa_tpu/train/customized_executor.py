@@ -25,6 +25,7 @@ from .optim import (
     mu_dtype_from_config,
     optimizer_extras_from_config,
     optimizer_kind_from_config,
+    schedule_from_config,
 )
 from .prestu_executor import PreSTUExecutor
 from .sal_executor import SaLExecutor
@@ -109,7 +110,14 @@ class _CustomizedMixin:
 
     def _init_training_properties(self):
         c = self.config
-        schedule = linear_warmup_schedule(c.LR, c.get("warmup_step", 1000))
+        steps_per_epoch = num_batches(
+            len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True
+        )
+        schedule = schedule_from_config(
+            c,
+            linear_warmup_schedule(c.LR, c.get("warmup_step", 1000)),
+            steps_per_epoch,
+        )
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),

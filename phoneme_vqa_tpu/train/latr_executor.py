@@ -27,6 +27,7 @@ from .optim import (
     mu_dtype_from_config,
     optimizer_extras_from_config,
     optimizer_kind_from_config,
+    schedule_from_config,
 )
 from .state import TrainState
 
@@ -185,7 +186,9 @@ class LaTrExecutor(BaseExecutor):
         steps_per_epoch = num_batches(
             len(self.train_data), c.TRAIN_BATCH_SIZE, drop_last=True
         )
-        schedule = epoch_decay_schedule(c.LR, steps_per_epoch)
+        schedule = schedule_from_config(
+            c, epoch_decay_schedule(c.LR, steps_per_epoch), steps_per_epoch
+        )
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),

@@ -41,6 +41,41 @@ def linear_warmup_schedule(base_lr: float, warmup_steps: int):
     return schedule
 
 
+def schedule_from_config(config, default_schedule, steps_per_epoch: int):
+    """YAML ``LR_SCHEDULE`` overrides the family-default schedule
+    (LaTr/PreSTU/SaL: the reference's 0.95**epoch decay; Customized/Phoneme:
+    LinearLR warmup). Absent/empty -> ``default_schedule`` unchanged.
+
+    * ``cosine`` — optional linear warmup over ``WARMUP_STEPS`` then cosine
+      decay to ``LR_MIN`` (default 0) across NUM_EPOCHS x steps_per_epoch.
+    * ``constant`` — optional linear warmup then flat LR.
+    """
+    kind = str(config.get("LR_SCHEDULE", "") or "").lower()
+    if not kind:
+        return default_schedule
+    base = float(config.LR)
+    warmup = int(config.get("WARMUP_STEPS", 0) or 0)
+    total = max(1, int(config.get("NUM_EPOCHS", 1)) * max(1, steps_per_epoch))
+    if kind == "cosine":
+        total = max(total, warmup + 1)  # optax needs decay_steps > warmup
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else base,
+            peak_value=base,
+            warmup_steps=warmup,
+            decay_steps=total,  # optax counts warmup inside decay_steps
+            end_value=float(config.get("LR_MIN", 0.0) or 0.0),
+        )
+    if kind == "constant":
+        if not warmup:
+            return lambda step: base
+
+        def schedule(step):
+            return base * jnp.minimum((step + 1) / warmup, 1.0)
+
+        return schedule
+    raise ValueError(f"unknown LR_SCHEDULE {kind!r} (cosine | constant)")
+
+
 def build_optimizer(
     lr_schedule: Callable,
     betas=(0.9, 0.98),

@@ -245,6 +245,80 @@ def test_label_smoothing_through_executor(tmp_path):
         ex.run()
 
 
+def test_lr_schedule_from_config():
+    """LR_SCHEDULE: cosine (warmup -> peak -> LR_MIN) and constant
+    (warmup -> flat); absent -> the family default untouched."""
+    import pytest
+
+    from phoneme_vqa_tpu.train.optim import schedule_from_config
+
+    class _C(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+        def __getattr__(self, k):
+            return self[k]
+
+    default = epoch_decay_schedule(1.0, 10)
+    assert schedule_from_config(_C(LR=1.0), default, 10) is default
+
+    c = _C(LR=2.0, LR_SCHEDULE="cosine", WARMUP_STEPS=10, NUM_EPOCHS=10,
+           LR_MIN=0.2)
+    s = schedule_from_config(c, default, 10)  # total = 100 steps
+    assert float(s(0)) < 0.3  # warmup starts near 0
+    assert np.isclose(float(s(10)), 2.0)  # peak after warmup
+    assert np.isclose(float(s(100)), 0.2)  # decays to LR_MIN
+    mid = float(s(55))
+    assert 0.2 < mid < 2.0
+
+    k = schedule_from_config(
+        _C(LR=3.0, LR_SCHEDULE="constant", WARMUP_STEPS=6), default, 10
+    )
+    assert float(k(0)) < 3.0 and np.isclose(float(k(5)), 3.0)
+    assert np.isclose(float(k(500)), 3.0)
+    flat = schedule_from_config(_C(LR=3.0, LR_SCHEDULE="constant"), default, 10)
+    assert flat(0) == 3.0 and flat(999) == 3.0
+
+    with pytest.raises(ValueError, match="LR_SCHEDULE"):
+        schedule_from_config(_C(LR=1.0, LR_SCHEDULE="polynomial"), default, 10)
+
+
+def test_lr_schedule_through_executor(tmp_path):
+    """LR_SCHEDULE: cosine through the real executor trains cleanly."""
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, LR_SCHEDULE="cosine",
+        WARMUP_STEPS=2,
+    )
+    ex = EXECUTORS.get("LaTr_Executor")(get_config(yaml_path), mode="train")
+    ex.run()
+    assert int(ex.state.epoch) == 1
+
+
+def test_grad_clip_ignores_frozen_gradients():
+    """GRAD_CLIP + freeze (LoRA): the clip lives inside the multi_transform
+    'train' branch, so the global norm covers ONLY trainable leaves — a huge
+    gradient on a frozen subtree must not shrink the adapter update."""
+    params = {"base": {"w": jnp.ones((4,))}, "lora": {"a": jnp.ones((4,))}}
+    freeze = lambda p: bool(p) and getattr(p[0], "key", str(p[0])) == "base"
+    tx = build_optimizer(lambda s: 1e-1, grad_clip=1.0, freeze_predicate=freeze)
+
+    giant = {"base": {"w": 1e9 * jnp.ones((4,))}, "lora": {"a": 1e-3 * jnp.ones((4,))}}
+    quiet = {"base": {"w": jnp.zeros((4,))}, "lora": {"a": 1e-3 * jnp.ones((4,))}}
+    u_giant, _ = tx.update(giant, tx.init(params), params)
+    u_quiet, _ = tx.update(quiet, tx.init(params), params)
+    np.testing.assert_array_equal(
+        np.asarray(u_giant["lora"]["a"]), np.asarray(u_quiet["lora"]["a"])
+    )
+    assert np.all(np.asarray(u_giant["base"]["w"]) == 0)
+
+
 def test_build_optimizer_rejects_unknown_kind():
     import pytest
 
