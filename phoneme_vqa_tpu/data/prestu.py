@@ -14,6 +14,7 @@ import pandas as pd
 
 from ..utils.logger import get_logger
 from ..utils.registry import DATASETS
+from . import feature_cache
 from .loader import ArrayDataset, make_image_loader
 
 log = get_logger(__name__)
@@ -61,12 +62,41 @@ class PreSTUDataset:
         truncation: bool = True,
         transform=None,
         answer_encoder=None,
+        cache_dir=None,  # FEATURE_CACHE (data/feature_cache.py)
+        cache_tag="",
     ):
-        from .latr import encode_prefixed
-
         df = pd.merge(
             qa_df, ocr_df[["image_id", "texts"]], on="image_id", how="inner"
         ).reset_index(drop=True)
+        parts = {
+            "cls": type(self).__name__,
+            "df": feature_cache.df_fingerprint(df),
+            "tok": feature_cache.tokenizer_tag(tokenizer),
+            "tag": cache_tag,
+            "max_ocr_element": max_ocr_element,
+            "max_ocr_length": max_ocr_length,
+            "max_input_length": max_input_length,
+            "max_output_length": max_output_length,
+        }
+        arrays, image_ids, answers = feature_cache.get_or_build(
+            cache_dir, parts,
+            lambda: self._featurize(
+                df, tokenizer, max_ocr_element, max_ocr_length,
+                max_input_length, max_output_length, answer_encoder,
+            ),
+        )
+        self.dataset = ArrayDataset(
+            arrays,
+            image_ids=image_ids,
+            answers=answers,
+            lazy_fields={"pixel_values": make_image_loader(base_img_path, image_ids)},
+        )
+
+    @staticmethod
+    def _featurize(df, tokenizer, max_ocr_element, max_ocr_length,
+                   max_input_length, max_output_length, answer_encoder):
+        from .latr import encode_prefixed
+
         n = len(df)
         total = max_input_length + max_ocr_length
         input_ids = np.zeros((n, total), np.int32)
@@ -92,18 +122,13 @@ class PreSTUDataset:
             if i + 1 == 1 or (i + 1) % 1000 == 0 or i + 1 == n:
                 log.info(f"Encoding... {i + 1}/{n}")
 
-        image_ids = list(df["image_id"])
-        self.dataset = ArrayDataset(
-            {
-                "input_ids": input_ids,
-                "src_attention_mask": src_mask,
-                "label_ids": np.asarray(label_rows, np.int32),
-                "label_attention_mask": np.asarray(label_mask_rows, np.int32),
-            },
-            image_ids=image_ids,
-            answers=list(df["answer"]),
-            lazy_fields={"pixel_values": make_image_loader(base_img_path, image_ids)},
-        )
+        arrays = {
+            "input_ids": input_ids,
+            "src_attention_mask": src_mask,
+            "label_ids": np.asarray(label_rows, np.int32),
+            "label_attention_mask": np.asarray(label_mask_rows, np.int32),
+        }
+        return arrays, list(df["image_id"]), list(df["answer"])
 
     def __len__(self) -> int:
         return len(self.dataset)

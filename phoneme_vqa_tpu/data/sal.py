@@ -21,6 +21,7 @@ import pandas as pd
 
 from ..utils.logger import get_logger
 from ..utils.registry import DATASETS
+from . import feature_cache
 from .latr import encode_prefixed
 from .loader import ArrayDataset
 
@@ -91,6 +92,8 @@ class SaLDataset:
         transform=None,
         context_token: str = "<c>",
         answer_encoder=None,
+        cache_dir=None,  # FEATURE_CACHE (data/feature_cache.py)
+        cache_tag="",
     ):
         self.base_ocr_feature_path = base_ocr_feature_path
         self.base_obj_feature_path = base_obj_feature_path
@@ -110,6 +113,47 @@ class SaLDataset:
             on="image_id", how="inner",
         ).reset_index(drop=True)
 
+        parts = {
+            "cls": type(self).__name__,
+            "df": feature_cache.df_fingerprint(df),
+            "tok": feature_cache.tokenizer_tag(tokenizer),
+            "tag": cache_tag,
+            "context_token": context_token,
+            "max_ocr_element": max_ocr_element,
+            "max_ocr_length": max_ocr_length,
+            "max_obj_element": max_obj_element,
+            "max_obj_length": max_obj_length,
+            "max_input_length": max_input_length,
+            "max_output_length": max_output_length,
+        }
+        arrays, image_ids, answers = feature_cache.get_or_build(
+            cache_dir, parts,
+            lambda: self._featurize(
+                df, tokenizer, self.context_token_id, max_ocr_element,
+                max_ocr_length, max_obj_element, max_obj_length,
+                max_input_length, max_output_length, answer_encoder,
+            ),
+        )
+        arrays = dict(arrays)
+        # subword->word alignment for the lazy feature gathers, packed to
+        # fixed shape (-1 = no word) so it caches like any other array
+        self._ocr_word_ids = np.asarray(arrays.pop("_ocr_word_ids"))
+        self._obj_word_ids = np.asarray(arrays.pop("_obj_word_ids"))
+        self.dataset = ArrayDataset(
+            arrays,
+            image_ids=image_ids,
+            answers=answers,
+            lazy_fields={
+                "ocr_features": self._load_ocr_features,
+                "obj_features": self._load_obj_features,
+            },
+        )
+        self._image_ids = image_ids
+
+    @staticmethod
+    def _featurize(df, tokenizer, context_token_id, max_ocr_element,
+                   max_ocr_length, max_obj_element, max_obj_length,
+                   max_input_length, max_output_length, answer_encoder):
         n = len(df)
         arr = lambda *shape: np.zeros(shape, np.int32)
         input_ids = arr(n, max_input_length)
@@ -121,18 +165,18 @@ class SaLDataset:
         obj_mask = arr(n, max_obj_length)
         obj_coords = np.zeros((n, max_obj_length, 4), np.float32)
         label_rows, label_mask_rows = [], []
-        self._ocr_word_ids: List[List[int]] = []
-        self._obj_word_ids: List[List[int]] = []
+        ocr_word_ids = np.full((n, max_ocr_length), -1, np.int32)
+        obj_word_ids = np.full((n, max_obj_length), -1, np.int32)
 
         for i in range(n):
             texts = list(df["texts"][i])[:max_ocr_element]
             boxes = list(df["bboxes"][i])[:max_ocr_element]
             o_ids, o_boxes, o_mask, o_words = _word_aligned_stream(
-                tokenizer, texts, boxes, max_ocr_length, self.context_token_id
+                tokenizer, texts, boxes, max_ocr_length, context_token_id
             )
             ocr_ids[i], ocr_mask[i] = o_ids, o_mask
             ocr_coords[i] = np.asarray(o_boxes, np.float32)
-            self._ocr_word_ids.append(o_words)
+            ocr_word_ids[i, : len(o_words)] = o_words
 
             labels = list(df["obj_labels"][i])[:max_obj_element]
             oboxes = list(df["obj_bboxes"][i])[:max_obj_element]
@@ -141,7 +185,7 @@ class SaLDataset:
             )
             obj_ids[i], obj_mask[i] = b_ids, b_mask
             obj_coords[i] = np.asarray(b_boxes, np.float32)
-            self._obj_word_ids.append(b_words)
+            obj_word_ids[i, : len(b_words)] = b_words
 
             q_ids, q_mask = encode_prefixed(
                 tokenizer, str(df["question"][i]), max_input_length
@@ -158,28 +202,21 @@ class SaLDataset:
             if i + 1 == 1 or (i + 1) % 1000 == 0 or i + 1 == n:
                 log.info(f"Encoding... {i + 1}/{n}")
 
-        image_ids = list(df["image_id"])
-        self.dataset = ArrayDataset(
-            {
-                "input_ids": input_ids,
-                "src_attention_mask": src_mask,
-                "tokenized_ocr": ocr_ids,
-                "ocr_attention_mask": ocr_mask,
-                "ocr_coordinates": ocr_coords,
-                "tokenized_obj": obj_ids,
-                "obj_attention_mask": obj_mask,
-                "obj_coordinates": obj_coords,
-                "label_ids": np.asarray(label_rows, np.int32),
-                "label_attention_mask": np.asarray(label_mask_rows, np.int32),
-            },
-            image_ids=image_ids,
-            answers=list(df["answer"]),
-            lazy_fields={
-                "ocr_features": self._load_ocr_features,
-                "obj_features": self._load_obj_features,
-            },
-        )
-        self._image_ids = image_ids
+        arrays = {
+            "input_ids": input_ids,
+            "src_attention_mask": src_mask,
+            "tokenized_ocr": ocr_ids,
+            "ocr_attention_mask": ocr_mask,
+            "ocr_coordinates": ocr_coords,
+            "tokenized_obj": obj_ids,
+            "obj_attention_mask": obj_mask,
+            "obj_coordinates": obj_coords,
+            "label_ids": np.asarray(label_rows, np.int32),
+            "label_attention_mask": np.asarray(label_mask_rows, np.int32),
+            "_ocr_word_ids": ocr_word_ids,
+            "_obj_word_ids": obj_word_ids,
+        }
+        return arrays, list(df["image_id"]), list(df["answer"])
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -196,6 +233,11 @@ class SaLDataset:
                 return np.load(path, allow_pickle=True).tolist()
         raise FileNotFoundError(f"feature file for image {image_id} in {root}")
 
+    @staticmethod
+    def _valid_words(packed_row) -> np.ndarray:
+        row = np.asarray(packed_row)
+        return row[row >= 0]
+
     def _load_ocr_features(self, indices) -> np.ndarray:
         out = np.zeros((len(indices), self.max_ocr_length, self.ocr_hidden), np.float32)
         for row, idx in enumerate(np.asarray(indices).tolist()):
@@ -205,7 +247,8 @@ class SaLDataset:
                 axis=-1,
             )
             out[row] = _feature_gather(
-                per_word, self._ocr_word_ids[idx], self.max_ocr_length, self.ocr_hidden
+                per_word, self._valid_words(self._ocr_word_ids[idx]),
+                self.max_ocr_length, self.ocr_hidden,
             )
         return out
 
@@ -215,6 +258,7 @@ class SaLDataset:
             rec = self._load_npy(self.base_obj_feature_path, idx)
             per_word = np.asarray(rec["region_features"])
             out[row] = _feature_gather(
-                per_word, self._obj_word_ids[idx], self.max_obj_length, self.obj_hidden
+                per_word, self._valid_words(self._obj_word_ids[idx]),
+                self.max_obj_length, self.obj_hidden,
             )
         return out

@@ -63,10 +63,25 @@ class LaTrExecutor(BaseExecutor):
             max_input_length=self.config.max_q_length,
             max_output_length=self.config.max_a_length,
             answer_encoder=self._answer_encoder(),
+            **self._feature_cache_args(),
         ).dataset
 
     def _answer_encoder(self):
         return None  # backbone tokenizer; Customized/Phoneme override
+
+    def _feature_cache_args(self) -> dict:
+        """``FEATURE_CACHE: <dir>`` -> dataset cache kwargs. The tag covers
+        the answer-encoding tokenizer: the Customized/Phoneme families encode
+        answers with their decode tokenizer, whose vocab is not captured by
+        the dataframe fingerprint (data/feature_cache.py)."""
+        from ..data import feature_cache
+
+        cache_dir = self.config.get("FEATURE_CACHE", None) or None
+        if getattr(self, "mode", None) == "serve":
+            cache_dir = None  # per-request micro-batches: caching is churn
+        tok = getattr(self, "decode_tokenizer", None)
+        tag = feature_cache.tokenizer_tag(tok) if tok is not None else ""
+        return {"cache_dir": cache_dir, "cache_tag": tag}
 
     def _read_qa(self, path):
         return pd.read_csv(path)[["image_id", "question", "answer", "filename"]]

@@ -76,6 +76,7 @@ class SaLExecutor(LaTrExecutor):
             max_output_length=self.config.max_a_length,
             context_token=self.config.context_token,
             answer_encoder=self._answer_encoder(),
+            **self._feature_cache_args(),
         ).dataset
 
     def _adapt_frames(self):
