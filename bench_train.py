@@ -170,9 +170,12 @@ def main():
         params = {"base": params, "lora": jax.device_put(adapters)}
         log(f"LoRA rank {LORA}: {lora_mod.n_params(adapters) / 1e6:.2f}M "
             "trainable adapter params")
+    # BENCH_TRAIN_CLIP=x benches GRAD_CLIP (one extra global-norm reduction
+    # pass over the gradient tree per step)
     tx = build_optimizer(
         epoch_decay_schedule(5e-5, 1000), betas=(0.9, 0.98), eps=1e-9,
         mu_dtype=mu_dtype, kind=os.environ.get("BENCH_TRAIN_OPT", "adam"),
+        grad_clip=float(os.environ.get("BENCH_TRAIN_CLIP", "0") or 0) or None,
         freeze_predicate=(
             __import__(
                 "phoneme_vqa_tpu.train.lora", fromlist=["lora"]
@@ -190,6 +193,10 @@ def main():
     log(f"optimizer state: {opt_bytes / 1e9:.3f} GB")
     batch = jax.device_put(batch)
 
+    # BENCH_TRAIN_LS=a benches LABEL_SMOOTHING (one extra reduction over the
+    # logits the log_softmax already touched)
+    LS = float(os.environ.get("BENCH_TRAIN_LS", "0") or 0)
+
     def loss_fn(params, batch):
         if LORA:
             from phoneme_vqa_tpu.train import lora as lora_mod
@@ -201,7 +208,9 @@ def main():
             batch["label_ids"][:, :-1],
             batch["label_attention_mask"][:, :-1],
         )
-        return cross_entropy_loss(logits, batch["label_ids"][:, 1:], 0)
+        return cross_entropy_loss(
+            logits, batch["label_ids"][:, 1:], 0, label_smoothing=LS
+        )
 
     # BENCH_TRAIN_ACCUM=N benches the production gradient-accumulation path
     # (the executors' `_value_and_grad_accum`, GRAD_ACCUM_STEPS knob)

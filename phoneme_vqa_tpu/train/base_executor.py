@@ -132,10 +132,15 @@ class BaseExecutor:
         folder = self.config.SAVE_PATH or "./models"
         os.makedirs(folder, exist_ok=True)
 
-        best_epoch, best_acc = 0, 0.0
         log.info("#----------- START TRAINING -----------------#")
         t_start = time.perf_counter()
         start_epoch = int(self.state.epoch)
+        # EARLY_STOP_PATIENCE: stop after N epochs without an Accuracy
+        # improvement (0/absent = the reference's fixed-epoch contract).
+        # best_epoch starts at the resume point so a resumed run gets a
+        # full patience window, not an instant stop.
+        patience = int(self.config.get("EARLY_STOP_PATIENCE", 0) or 0)
+        best_epoch, best_acc = start_epoch, 0.0
 
         for epoch in range(start_epoch + 1, self.config.NUM_EPOCHS + 1):
             t_ep = time.perf_counter()
@@ -170,6 +175,13 @@ class BaseExecutor:
                     self.best_score = max(self.best_score, acc)
                     self._save_checkpoint("best")
                 self._save_checkpoint("last")
+
+            if patience and epoch - best_epoch >= patience:
+                log.info(
+                    f"# Early stop at epoch {epoch}: no Accuracy improvement "
+                    f"for {patience} epochs (best {best_acc:.4f} @ {best_epoch})"
+                )
+                break
 
         self.ckpt.wait()  # drain async checkpoint writes
         log.info(

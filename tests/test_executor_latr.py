@@ -203,3 +203,17 @@ def test_save_every_steps_preemption_cadence(tmp_path):
     restored = ex.ckpt.restore_raw("last")
     # saved state reflects mid-training steps, not the initial state
     assert int(restored["step"]) >= 1
+
+
+def test_early_stop_patience(tmp_path):
+    """EARLY_STOP_PATIENCE: training halts after N epochs without an
+    Accuracy improvement; without the knob it runs the full NUM_EPOCHS.
+    LR=0 freezes the model so the metric cannot improve after epoch 1."""
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=6,
+                               LR=0.0, EARLY_STOP_PATIENCE=2)
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ex.run()
+    # acc is constant: best_epoch is at most 1, stop fires by epoch 3
+    assert int(ex.state.epoch) <= 3, int(ex.state.epoch)
