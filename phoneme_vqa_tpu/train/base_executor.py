@@ -210,11 +210,20 @@ class BaseExecutor:
             log.info("\t#PREDICTION:\n")
             log.info(f"\t{scores}")
         else:
+            want_conf = bool(self.config.get("PREDICT_SCORES"))
             preds = self.infer(
                 self.predict_data, self.config.PREDICT_BATCH_SIZE,
                 self.config.max_predict_length,
+                return_scores=want_conf,
             )
-            results = [{"gens": p} for p in preds]
+            if want_conf:
+                preds, confs = preds
+                results = [
+                    {"gens": p, "confidence": float(np.exp(c))}
+                    for p, c in zip(preds, confs)
+                ]
+            else:
+                results = [{"gens": p} for p in preds]
 
         out_dir = self.config.SAVE_PATH or "."
         out_path = os.path.join(out_dir, "results.json")
@@ -226,11 +235,21 @@ class BaseExecutor:
     # -- metrics ---------------------------------------------------------------
 
     def _evaluate_metrics(self, return_results: bool = False):
+        # PREDICT_SCORES: true — decode with the score-accumulating
+        # executable and attach per-answer confidence (exp of the mean
+        # emitted-token log-prob, the number serving reports) to results.json.
+        # Additive: the reference schema [{"gens", "gts"}] is unchanged
+        # without the knob.
+        want_conf = return_results and bool(self.config.get("PREDICT_SCORES"))
+        confs = None
         if self.mode == "predict":
             preds = self.infer(
                 self.predict_data, self.config.PREDICT_BATCH_SIZE,
                 self.config.max_predict_length,
+                return_scores=want_conf,
             )
+            if want_conf:
+                preds, confs = preds
             answers_gt = [a.strip() for a in self.predict_answer]
         else:
             preds = self.infer(
@@ -253,6 +272,9 @@ class BaseExecutor:
                 {"gens": gen, "gts": gt}
                 for gen, gt in zip(answers_gen, answers_gt)
             ]
+            if confs is not None:
+                for row, c in zip(results, confs):
+                    row["confidence"] = float(np.exp(c))
             return results, score
         return score
 

@@ -217,3 +217,26 @@ def test_early_stop_patience(tmp_path):
     ex.run()
     # acc is constant: best_epoch is at most 1, stop fires by epoch 3
     assert int(ex.state.epoch) <= 3, int(ex.state.epoch)
+
+
+def test_predict_scores_confidence_in_results(tmp_path):
+    """PREDICT_SCORES: true attaches a per-answer confidence in (0, 1] to
+    every results.json row, on both predict paths (with and without
+    get_predict_score); the reference schema is otherwise unchanged."""
+    import json
+
+    paths = make_latr_fixture(tmp_path)
+    for scored in (True, False):
+        save = str(tmp_path / f"ck_{scored}")
+        yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1,
+                                   PREDICT_SCORES=True,
+                                   get_predict_score=scored)
+        config = get_config(yaml_path)
+        EXECUTORS.get(config.EXECUTOR)(config, mode="train").run()
+        EXECUTORS.get(config.EXECUTOR)(config, mode="predict").run()
+        rows = json.load(open(os.path.join(save, "results.json")))
+        assert rows and all("confidence" in r for r in rows)
+        assert all(0.0 < r["confidence"] <= 1.0 for r in rows), rows[:2]
+        assert all("gens" in r for r in rows)
+        if scored:
+            assert all("gts" in r for r in rows)
