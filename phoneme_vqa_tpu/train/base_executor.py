@@ -161,8 +161,10 @@ class BaseExecutor:
                 best_acc, best_epoch = acc, epoch
 
             self.state = self.state.replace(epoch=epoch)
+            lr_fn = getattr(self, "_lr_schedule", None)
             self._log_metrics(
                 {"epoch": epoch, "train_loss": float(train_loss),
+                 **({"lr": float(lr_fn(int(self.state.step)))} if lr_fn else {}),
                  **({"val_loss": float(val_loss)} if val_loss is not None else {}),
                  **{k: (list(map(float, v)) if isinstance(v, (list, tuple))
                         else float(v)) for k, v in scores.items()}}

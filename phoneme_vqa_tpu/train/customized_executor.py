@@ -118,6 +118,7 @@ class _CustomizedMixin:
             linear_warmup_schedule(c.LR, c.get("warmup_step", 1000)),
             steps_per_epoch,
         )
+        self._lr_schedule = schedule  # metrics.jsonl logs the live LR
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),

@@ -204,6 +204,7 @@ class LaTrExecutor(BaseExecutor):
         schedule = schedule_from_config(
             c, epoch_decay_schedule(c.LR, steps_per_epoch), steps_per_epoch
         )
+        self._lr_schedule = schedule  # metrics.jsonl logs the live LR
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),

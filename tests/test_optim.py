@@ -299,6 +299,11 @@ def test_lr_schedule_through_executor(tmp_path):
     ex = EXECUTORS.get("LaTr_Executor")(get_config(yaml_path), mode="train")
     ex.run()
     assert int(ex.state.epoch) == 1
+    # the live LR lands in metrics.jsonl
+    import json
+
+    line = json.loads(open(str(tmp_path / "ck" / "metrics.jsonl")).readline())
+    assert "lr" in line and 0.0 <= line["lr"] <= 1e-3, line
 
 
 def test_grad_clip_ignores_frozen_gradients():
