@@ -98,7 +98,10 @@ class LaTrExecutor(BaseExecutor):
         val_df = self._read_qa(self.config.qa_val_path)
         self.val_answer = [str(a) for a in val_df["answer"]]
         self._prepare_decode_tokenizer(train_df, val_df)
-        ocr_df = textlayout_ocr_adapt(self.config.ocr_path)
+        ocr_df = textlayout_ocr_adapt(
+            self.config.ocr_path,
+            cache_dir=self.config.get("FEATURE_CACHE", None) or None,
+        )
         log.info("# Creating Datasets")
         self.train_data = self._make_dataset(train_df, ocr_df)
         self.val_data = self._make_dataset(val_df, ocr_df)
@@ -108,7 +111,10 @@ class LaTrExecutor(BaseExecutor):
 
     def _init_eval_predict_mode(self):
         self._create_tokenizers()
-        ocr_df = textlayout_ocr_adapt(self.config.ocr_path)
+        ocr_df = textlayout_ocr_adapt(
+            self.config.ocr_path,
+            cache_dir=self.config.get("FEATURE_CACHE", None) or None,
+        )
         if self.mode == "eval":
             log.info("###Load eval data ...")
             val_df = self._read_qa(self.config.qa_val_path)
@@ -152,7 +158,11 @@ class LaTrExecutor(BaseExecutor):
                 self._serve_frames_cache = self._adapt_frames()
             else:
                 self._serve_frames_cache = (
-                    textlayout_ocr_adapt(self.config.ocr_path), None
+                    textlayout_ocr_adapt(
+                        self.config.ocr_path,
+                        cache_dir=self.config.get("FEATURE_CACHE", None) or None,
+                    ),
+                    None,
                 )
         return self._serve_frames_cache
 

@@ -160,11 +160,14 @@ def optimizer_kind_from_config(config) -> str:
 def optimizer_extras_from_config(config) -> dict:
     """YAML ``GRAD_CLIP`` (float global-norm threshold, 0/absent = off) and
     ``WEIGHT_DECAY`` (decoupled decay rate, 0/absent = off) ->
-    `build_optimizer` kwargs."""
-    return {
-        "grad_clip": float(config.get("GRAD_CLIP", 0) or 0) or None,
-        "weight_decay": float(config.get("WEIGHT_DECAY", 0) or 0),
-    }
+    `build_optimizer` kwargs. Fails fast on nonsense values."""
+    clip = float(config.get("GRAD_CLIP", 0) or 0)
+    wd = float(config.get("WEIGHT_DECAY", 0) or 0)
+    if clip < 0:
+        raise ValueError(f"GRAD_CLIP must be > 0 (or 0/absent = off), got {clip}")
+    if wd < 0:
+        raise ValueError(f"WEIGHT_DECAY must be >= 0, got {wd}")
+    return {"grad_clip": clip or None, "weight_decay": wd}
 
 
 def cross_entropy_loss(

@@ -81,10 +81,12 @@ class SaLExecutor(LaTrExecutor):
 
     def _adapt_frames(self):
         ocr_df = textlayout_ocr_adapt(
-            self.config.base_ocr_feature_path, h_scale=1, w_scale=1
+            self.config.base_ocr_feature_path, h_scale=1, w_scale=1,
+            cache_dir=self.config.get("FEATURE_CACHE", None) or None,
         )
         obj_df = textlayout_obj_adapt(
-            self.config.base_obj_feature_path, h_scale=1, w_scale=1
+            self.config.base_obj_feature_path, h_scale=1, w_scale=1,
+            cache_dir=self.config.get("FEATURE_CACHE", None) or None,
         )
         return ocr_df, obj_df
 

@@ -211,3 +211,43 @@ def test_sal_dataset_cache_roundtrip(tmp_path):
     be, bh = eager.dataset.gather(idx), hit.dataset.gather(idx)
     np.testing.assert_array_equal(bh["ocr_features"], be["ocr_features"])
     np.testing.assert_array_equal(bh["obj_features"], be["obj_features"])
+
+
+def test_adapted_frame_cache(tmp_path):
+    """The OCR/OBJ store adaptation cache: hit returns the identical frame
+    without re-reading the .npy pickles; touching a file invalidates."""
+    import time
+
+    from phoneme_vqa_tpu.data.adapters import (
+        textlayout_obj_adapt,
+        textlayout_ocr_adapt,
+    )
+
+    from .fixtures import make_sal_fixture
+
+    paths = make_sal_fixture(tmp_path)
+    cache = str(tmp_path / "fc")
+    a = textlayout_ocr_adapt(paths["ocr_features"], h_scale=1, w_scale=1)
+    b = textlayout_ocr_adapt(paths["ocr_features"], h_scale=1, w_scale=1,
+                             cache_dir=cache)  # miss -> writes
+    c = textlayout_ocr_adapt(paths["ocr_features"], h_scale=1, w_scale=1,
+                             cache_dir=cache)  # hit
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    entries = [f for f in os.listdir(cache) if f.startswith("adapt_")]
+    assert len(entries) == 1
+    # different scales -> different entry
+    textlayout_ocr_adapt(paths["ocr_features"], cache_dir=cache)
+    assert len([f for f in os.listdir(cache) if f.startswith("adapt_")]) == 2
+    # obj adapter caches too
+    o1 = textlayout_obj_adapt(paths["obj_features"], cache_dir=cache)
+    o2 = textlayout_obj_adapt(paths["obj_features"], cache_dir=cache)
+    pd.testing.assert_frame_equal(o1, o2)
+    # touching a store file invalidates (mtime-keyed)
+    victim = os.path.join(paths["ocr_features"],
+                          sorted(os.listdir(paths["ocr_features"]))[0])
+    future = time.time() + 10
+    os.utime(victim, (future, future))
+    textlayout_ocr_adapt(paths["ocr_features"], h_scale=1, w_scale=1,
+                         cache_dir=cache)
+    assert len([f for f in os.listdir(cache) if f.startswith("adapt_")]) == 4
