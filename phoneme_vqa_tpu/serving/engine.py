@@ -183,7 +183,7 @@ class ServingEngine:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable —
             # one per latency bucket)
-            ds = self._featurize([_Request(next(iter(self._known_ids)), "")])
+            ds = self._featurize([self._dummy_request()])
             for bucket in self.buckets:
                 self.executor.infer(
                     ds, bucket, self.max_answer_length,
@@ -191,6 +191,10 @@ class ServingEngine:
                 )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _dummy_request(self) -> _Request:
+        """A featurizable placeholder request (warmup / AOT packing)."""
+        return _Request(next(iter(self._known_ids)), "")
 
     def _resolve_buckets(self, buckets) -> list:
         """Ascending decode-batch shapes ending at ``batch_size``. None (the

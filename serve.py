@@ -77,6 +77,13 @@ def parse_args():
     p.add_argument("--confidence", action="store_true",
                    help="include a confidence field (geometric-mean emitted-"
                         "token probability) in every answer")
+    p.add_argument("--aot", default=None, metavar="DIR",
+                   help="AOT executable store: load the serve executables "
+                        "from DIR at startup (zero-compile restart — no "
+                        "trace/lower/compile, straight to answering); when "
+                        "DIR is missing or was packed for a different "
+                        "environment, compile normally and (re)pack DIR for "
+                        "the next restart")
     p.add_argument("--prime", action="store_true",
                    help="warm up (compile the serve executable into the "
                         "persistent compilation cache) and exit 0 — for "
@@ -113,7 +120,12 @@ def build_engine(args):
             raise SystemExit(f"--adapter expects NAME=CKPT_DIR, got {spec!r}")
         adapters[name] = load_adapter(path)
         log.info(f"## adapter {name!r} loaded from {path}")
-    return ServingEngine(
+    loaded = []
+    if args.aot:
+        from phoneme_vqa_tpu.serving import aot
+
+        loaded = aot.load(ex, args.aot)
+    engine = ServingEngine(
         ex, ocr_df, obj_df,
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
@@ -125,6 +137,17 @@ def build_engine(args):
         adapters=adapters or None,
         buckets=parse_buckets(args.buckets, args.batch_size),
     )
+    if args.aot:
+        # (re)pack when the store doesn't cover this server's executables
+        # (first start, env change, or different buckets/length/confidence)
+        have = {
+            (e["batch_size"], e["max_length"], bool(e["with_scores"]))
+            for e in loaded
+        }
+        want = {(b, max_len, args.confidence) for b in engine.buckets}
+        if not want <= have:
+            aot.pack(engine, args.aot)
+    return engine
 
 
 def parse_buckets(spec, batch_size: int):
@@ -288,15 +311,23 @@ def start_reload_watcher(engine, loadtype: str, every_s: float):
 
 
 def main():
+    import time
+
     args = parse_args()
+    t0 = time.monotonic()
     engine = build_engine(args)
+    log.info(f"## ready to answer in {time.monotonic() - t0:.1f} s")
     if args.reload_every > 0 and args.ckpt != "none":
         start_reload_watcher(engine, args.ckpt, args.reload_every)
     if args.prime:
         # warmup already compiled the serve executable into the persistent
-        # cache during build_engine; nothing else to do
+        # cache (and packed the --aot store) during build_engine
         engine.stop()
-        log.info("## cache primed (serve executable compiled); exiting")
+        log.info(
+            "## primed (serve executable compiled"
+            + (f", AOT store at {args.aot}" if args.aot else "")
+            + "); exiting"
+        )
         return
     if args.http is not None:
         import signal
