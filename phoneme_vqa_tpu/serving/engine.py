@@ -100,6 +100,14 @@ class ServingEngine:
         see ``BaseExecutor.infer(return_scores=True)``), accumulated inside
         the same compiled decode; production callers threshold on it to
         route low-confidence answers to review.
+    access_log: callable receiving one dict per resolved request — a
+        structured access log (``serve.py --access-log FILE`` writes them
+        as JSON lines). Every admission outcome is recorded: ``ok`` (with
+        the decode bucket and answer length), ``cached``, ``expired``, and
+        ``error``; each record carries the submit→resolution latency. The
+        question TEXT is never logged (only its length) so the log is safe
+        to ship to ordinary log pipelines. A sink that raises is disabled
+        after one loud warning — logging can never take serving down.
     """
 
     def __init__(
@@ -117,6 +125,7 @@ class ServingEngine:
         default_deadline_s: float = 0.0,
         adapters: Optional[dict] = None,
         buckets: Optional[list] = None,
+        access_log=None,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -160,6 +169,7 @@ class ServingEngine:
         self._adapters = dict(adapters or {})
         self._active_adapter = None
         self._adapter_switches = 0
+        self._access_log = access_log
         if self._adapters:
             import jax
 
@@ -195,6 +205,31 @@ class ServingEngine:
     def _dummy_request(self) -> _Request:
         """A featurizable placeholder request (warmup / AOT packing)."""
         return _Request(next(iter(self._known_ids)), "")
+
+    def _record(self, req: _Request, status: str, **extra) -> None:
+        """Emit one access-log record (no-op without a sink). The sink runs
+        on the caller's thread (worker, or submit for cache hits) — a sink
+        that raises is disabled after one warning, never crashes serving."""
+        if self._access_log is None:
+            return
+        image_id = req.image_id
+        rec = {
+            "ts": round(time.time(), 3),
+            # numpy scalar ids (the store's key dtype) -> plain JSON numbers
+            "image_id": image_id.item() if hasattr(image_id, "item") else image_id,
+            "question_chars": len(req.question),  # length only, never the text
+            "adapter": req.adapter,
+            "status": status,
+            "latency_ms": round((time.monotonic() - req.t_submit) * 1e3, 3),
+            **extra,
+        }
+        try:
+            self._access_log(rec)
+        except Exception as e:
+            log.warning(
+                f"(!) access-log sink raised {e!r} — access logging disabled"
+            )
+            self._access_log = None
 
     def _resolve_buckets(self, buckets) -> list:
         """Ascending decode-batch shapes ending at ``batch_size``. None (the
@@ -251,14 +286,20 @@ class ServingEngine:
             raise KeyError(f"unknown image_id {image_id!r} (not in {stores})")
         if self._cache_size:
             key = (image_id, question, adapter)
+            hit = object()  # sentinel: None is not a valid cached answer
+            answer = hit
             with self._stats_lock:
                 if key in self._cache:
                     answer = self._cache.pop(key)
                     self._cache[key] = answer  # move-to-end: LRU
                     self._cache_hits += 1
-                    fut: Future = Future()
-                    fut.set_result(answer)
-                    return fut
+            if answer is not hit:
+                self._record(
+                    _Request(image_id, question, adapter=adapter), "cached"
+                )
+                fut: Future = Future()
+                fut.set_result(answer)
+                return fut
         if deadline_s is None and self.default_deadline_s > 0:
             deadline_s = self.default_deadline_s
         deadline = time.monotonic() + deadline_s if deadline_s else None
@@ -465,7 +506,8 @@ class ServingEngine:
             now = time.monotonic()
             expired = [r for r in reqs if r.deadline and r.deadline < now]
             reqs = [r for r in reqs if not (r.deadline and r.deadline < now)]
-            for r in expired:
+            for r in expired:  # record BEFORE resolving: a client observing
+                self._record(r, "expired")  # the resolution sees a complete log
                 r.future.set_exception(
                     TimeoutError("deadline exceeded while queued")
                 )
@@ -483,6 +525,7 @@ class ServingEngine:
                     by_adapter.setdefault(r.adapter, []).append(r)
                 groups = list(by_adapter.values())
             answers_by_req: dict = {}
+            bucket_by_req: dict = {}
             n_ok_groups = 0
             buckets_used: list = []
             for group in groups:
@@ -511,6 +554,7 @@ class ServingEngine:
                 except Exception as e:  # resolve this group with the error
                     log.warning(f"serving batch of {len(group)} failed: {e!r}")
                     for r in group:
+                        self._record(r, "error", error=repr(e))
                         r.future.set_exception(e)
                     with self._stats_lock:
                         self._failed += len(group)
@@ -520,12 +564,17 @@ class ServingEngine:
                 buckets_used.append(bucket)
                 for r, a in zip(group, answers):
                     answers_by_req[r] = a
+                    bucket_by_req[r] = bucket
             reqs = [r for r in reqs if r in answers_by_req]
             if not reqs:
                 continue
             answers = [answers_by_req[r] for r in reqs]
             now = time.monotonic()
             for r, a in zip(reqs, answers):
+                text = a["answer"] if isinstance(a, dict) else a
+                self._record(
+                    r, "ok", bucket=bucket_by_req[r], answer_chars=len(text)
+                )
                 r.future.set_result(a)
             with self._stats_lock:
                 self._served += len(reqs)

@@ -77,6 +77,12 @@ def parse_args():
     p.add_argument("--confidence", action="store_true",
                    help="include a confidence field (geometric-mean emitted-"
                         "token probability) in every answer")
+    p.add_argument("--access-log", default=None, metavar="FILE",
+                   help="append one JSON line per request: status (ok/"
+                        "cached/expired/error), submit->resolution "
+                        "latency_ms, decode bucket, adapter, answer length. "
+                        "Question TEXT is never written (only its length), "
+                        "so the file is safe for ordinary log pipelines")
     p.add_argument("--aot", default=None, metavar="DIR",
                    help="AOT executable store: load the serve executables "
                         "from DIR at startup (zero-compile restart — no "
@@ -120,6 +126,16 @@ def build_engine(args):
             raise SystemExit(f"--adapter expects NAME=CKPT_DIR, got {spec!r}")
         adapters[name] = load_adapter(path)
         log.info(f"## adapter {name!r} loaded from {path}")
+    access_log = None
+    if args.access_log:
+        sink = open(args.access_log, "a", buffering=1, encoding="utf-8")
+        sink_lock = threading.Lock()
+
+        def access_log(rec, _f=sink, _lk=sink_lock):
+            with _lk:  # records come from worker AND submit threads
+                _f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+
+        log.info(f"## access log -> {args.access_log}")
     loaded = []
     if args.aot:
         from phoneme_vqa_tpu.serving import aot
@@ -136,6 +152,7 @@ def build_engine(args):
         default_deadline_s=args.deadline_s,
         adapters=adapters or None,
         buckets=parse_buckets(args.buckets, args.batch_size),
+        access_log=access_log,
     )
     if args.aot:
         # (re)pack when the store doesn't cover this server's executables

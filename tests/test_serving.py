@@ -443,6 +443,66 @@ def test_stopped_engine_rejects_cached_requests():
         eng.submit(1.0, "q")
 
 
+def test_access_log_records():
+    """Structured access log: every admission outcome (ok / cached / error /
+    expired) emits one record with submit->resolution latency; question text
+    is never logged; a raising sink is disabled, never kills serving."""
+    import time
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr):
+            if qa["question"].iloc[0] == "boom":
+                raise RuntimeError("featurization exploded")
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            time.sleep(0.1)
+            return ["xin chào"] * len(ds)
+
+    records = []
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False, cache_size=4,
+                       access_log=records.append) as eng:
+        assert eng.answer(1.0, "câu hỏi?", timeout=30) == "xin chào"
+        eng.answer(1.0, "câu hỏi?", timeout=30)  # cache hit
+        with pytest.raises(RuntimeError):
+            eng.answer(2.0, "boom", timeout=30)
+        # expired-in-queue: the worker is busy with f1 while f2's deadline
+        # (10 ms) passes; it must be shed, not decoded
+        f1 = eng.submit(1.0, "slow")
+        time.sleep(0.02)
+        f2 = eng.submit(2.0, "q", deadline_s=0.01)
+        assert f1.result(timeout=30) == "xin chào"
+        with pytest.raises(TimeoutError):
+            f2.result(timeout=30)
+    by_status: dict = {}
+    for r in records:  # first record per status ("slow" is a second ok)
+        by_status.setdefault(r["status"], r)
+    assert set(by_status) == {"ok", "cached", "error", "expired"}
+    ok = by_status["ok"]
+    assert ok["image_id"] == 1.0 and isinstance(ok["image_id"], float)  # .item()
+    assert ok["question_chars"] == len("câu hỏi?") and "question" not in ok
+    assert ok["bucket"] == 1 and ok["answer_chars"] == len("xin chào")
+    assert ok["latency_ms"] >= 100  # infer sleeps 100 ms
+    assert by_status["cached"]["latency_ms"] < 100
+    assert "featurization exploded" in by_status["error"]["error"]
+    assert by_status["expired"]["adapter"] is None
+    assert all(isinstance(r["ts"], float) for r in records)
+    # every record is JSON-serializable as-is (serve.py writes them verbatim)
+    json.dumps(records)
+
+    class _Boom:
+        def __call__(self, rec):
+            raise ValueError("sink died")
+
+    with ServingEngine(_Stub(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False, access_log=_Boom()) as eng:
+        assert eng.answer(1.0, "q", timeout=30) == "xin chào"  # still serves
+        assert eng._access_log is None  # disabled after one failure
+        assert eng.answer(1.0, "q2", timeout=30) == "xin chào"
+
+
 def test_stats_and_backpressure():
     """Stub executor: stats track served requests and latency percentiles;
     max_queue bounds admission with a loud error instead of unbounded
@@ -620,16 +680,22 @@ def test_serve_cli_round_trip(tmp_path):
         for i, r in enumerate(qa.itertuples())
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    access_log = str(tmp_path / "access.jsonl")
     r = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "serve.py"),
          "--config-file", yaml_path, "--ckpt", "none",
-         "--batch-size", "4", "--max-wait-ms", "5"],
+         "--batch-size", "4", "--max-wait-ms", "5",
+         "--access-log", access_log],
         input=lines, capture_output=True, text=True, timeout=420, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     out = [json.loads(l) for l in r.stdout.strip().splitlines() if l.strip()]
     assert {o["id"] for o in out} == set(range(len(qa)))
     assert all("answer" in o for o in out), out
+    recs = [json.loads(l) for l in open(access_log, encoding="utf-8")]
+    assert len(recs) == len(qa)
+    assert all(rec["status"] == "ok" and rec["latency_ms"] > 0 for rec in recs)
+    assert sorted(rec["image_id"] for rec in recs) == sorted(qa["image_id"])
 
 
 @pytest.mark.slow
