@@ -175,6 +175,10 @@ class ServingEngine:
 
             from ..train import lora as lora_mod
 
+            # deferred-init executors (serve --ckpt none) must materialize
+            # before the base tree is captured for merges (stub executors in
+            # tests have no such method)
+            getattr(self.executor, "_ensure_params", lambda: None)()
             self._base_params = self.executor.state.params
             for name, spec in self._adapters.items():
                 bad = lora_mod.unmatched_adapter_paths(

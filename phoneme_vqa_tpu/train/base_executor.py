@@ -289,6 +289,7 @@ class BaseExecutor:
 
         c = self.config
         batch_size = batch_size or c.EVAL_BATCH_SIZE
+        self._ensure_params()
         if not hasattr(self, "_val_loss_fn"):
             self._val_loss_fn = jax.jit(self._loss_from_batch)
         loss_fn = self._val_loss_fn
@@ -504,6 +505,7 @@ class BaseExecutor:
             )
         params = place_tree(self.mesh, raw_params)
         self.state = self.state.replace(params=params)
+        self._abstract_params = False  # the deferred init is now satisfied
         self.best_score = float(restored["best_score"])
         # drop the cached bf16 inference tree: it is keyed on id(params),
         # which can collide with a freed tree's address after a hot reload
@@ -518,6 +520,8 @@ class BaseExecutor:
         collective (grad psum over ``data``, activation all-gathers over
         ``model``, the ZeRO reduce-scatter/all-gather pair) from these
         placements — the train step itself is sharding-agnostic."""
+        if getattr(self, "_abstract_params", False):
+            return  # nothing to place: the tree is ShapeDtypeStructs
         mesh_cfg = self.config.get("MESH") or {}
         zero1 = bool(mesh_cfg.get("zero1")) if hasattr(mesh_cfg, "get") else False
         self.state = self.state.replace(
@@ -535,6 +539,34 @@ class BaseExecutor:
 
     def _model_batch(self, batch: dict) -> dict:
         return {k: batch[k] for k in self.BATCH_KEYS}
+
+    def _defer_params_init(self) -> bool:
+        """Whether construction should build the param tree ABSTRACTLY
+        (`jax.eval_shape` — no device work, no HBM) instead of materializing
+        random weights. True for eval/predict/serve: those modes restore a
+        checkpoint before any decode (`evaluate`/`predict` unconditionally,
+        `serve.py --ckpt best|last` right after construction), so a real
+        on-device init is pure wasted startup — ~2 min at base scale through
+        this chip's tunnel (docs/SERVING.md "cold start"). Train mode and
+        explicit pretrained imports (which write INTO the random tree) init
+        eagerly as before."""
+        return (
+            self.mode != "train"
+            and not self.config.get("pretrained_weights_path")
+        )
+
+    def _ensure_params(self):
+        """Materialize deferred random-init params if no checkpoint restore
+        beat first use to it (tests, `serve.py --ckpt none`) — behavior then
+        matches the eager init exactly, the cost just moves to first use.
+        Returns the concrete param tree either way."""
+        if getattr(self, "_abstract_params", False):
+            log.info("# no checkpoint restored — materializing random-init params")
+            self._abstract_params = False
+            self.params = self._init_params()
+            self.state = self.state.replace(params=self.params)
+            self._place_state()
+        return self.state.params
 
     def _init_params(self):
         import jax as _jax
@@ -828,6 +860,7 @@ class BaseExecutor:
         EMA training decodes with the EMA weights (so mid-train metric eval —
         and therefore best-checkpoint selection — scores the same weights
         eval/serve will load); EVAL_EMA: false opts out."""
+        self._ensure_params()  # deferred-init executors materialize here
         source = self.state.params
         if self.state.ema_params is not None and self.config.get("EVAL_EMA", True):
             source = self.state.ema_params

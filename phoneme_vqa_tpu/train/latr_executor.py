@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Dict
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -174,7 +175,16 @@ class LaTrExecutor(BaseExecutor):
         self.model_config = self._build_model_config(cfg_builder)
         model_cls = MODELS.get(self.config.MODEL_CLASS)
         self.model = model_cls(self.model_config)
-        self.params = self._init_params()
+        if self._defer_params_init():
+            # eval/predict/serve restore a checkpoint before any decode:
+            # don't burn startup materializing random params on device
+            # (~2 min at base scale through this chip's tunnel) just to
+            # overwrite them — build the tree abstractly; `_ensure_params`
+            # materializes lazily if no restore ever happens
+            self.params = jax.eval_shape(self._init_params)
+            self._abstract_params = True
+        else:
+            self.params = self._init_params()
         self.state = TrainState(params=self.params, opt_state=(), step=0, epoch=0)
         self.ckpt = CheckpointManager(self.config.SAVE_PATH)
         self._maybe_import_pretrained()

@@ -85,7 +85,9 @@ def main():
           for k, v in sd.items()}
 
     report = ImportReport()
-    params = jax.tree.map(np.asarray, ex.state.params)
+    # the imported state dict overwrites the tree, but unmatched leaves keep
+    # the template's values — materialize the deferred serve-mode init
+    params = jax.tree.map(np.asarray, ex._ensure_params())
     params = import_reference_state_dict(params, sd, report=report)
     report.log_summary("reference checkpoint")
     if report.failed and not args.allow_partial:

@@ -43,6 +43,39 @@ def test_eval_mode(trained):
     assert 0.0 <= scores["Accuracy"] <= 1.0
 
 
+def test_eval_mode_defers_param_init(trained):
+    """Non-train executors build the param tree ABSTRACTLY at construction
+    (eval/predict/serve restore a checkpoint before any decode — a real
+    on-device random init would be pure wasted startup, ~2 min at base
+    scale); a checkpoint restore materializes it, and executors that never
+    restore (serve --ckpt none, tests) materialize lazily at first use
+    with identical behavior."""
+    import jax
+
+    config, _, _ = trained
+    ev = EXECUTORS.get(config.EXECUTOR)(config, mode="eval", evaltype="last")
+    assert all(
+        isinstance(x, jax.ShapeDtypeStruct)
+        for x in jax.tree.leaves(ev.state.params)
+    )
+    ev._load_trained_checkpoint("last")
+    leaves = jax.tree.leaves(ev.state.params)
+    assert not any(isinstance(x, jax.ShapeDtypeStruct) for x in leaves)
+    got = ev.infer(ev.val_data, config.EVAL_BATCH_SIZE, 8)
+    assert len(got) == len(ev.val_data)
+
+    # lazy path: no restore — first inference materializes random init
+    ev2 = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    got2 = ev2.infer(ev2.val_data, config.EVAL_BATCH_SIZE, 8)
+    assert len(got2) == len(ev2.val_data)
+    assert not any(
+        isinstance(x, jax.ShapeDtypeStruct)
+        for x in jax.tree.leaves(ev2.state.params)
+    )
+    # materializing twice is a no-op (same tree object)
+    assert ev2._ensure_params() is ev2.state.params
+
+
 def test_predict_mode_writes_results(trained):
     config, _, save_path = trained
     executor = EXECUTORS.get(config.EXECUTOR)(

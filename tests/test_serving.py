@@ -60,8 +60,8 @@ def test_engine_with_spec_decode_matches_plain(served, tmp_path_factory):
     import jax
     import numpy as np
 
-    for a, b in zip(jax.tree.leaves(ex.state.params),
-                    jax.tree.leaves(ex_spec.state.params)):
+    for a, b in zip(jax.tree.leaves(ex._ensure_params()),
+                    jax.tree.leaves(ex_spec._ensure_params())):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with ServingEngine(ex_spec, ocr_df, batch_size=4, max_wait_ms=20,
                        max_answer_length=10) as eng:

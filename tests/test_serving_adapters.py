@@ -38,7 +38,7 @@ def setup(tmp_path_factory):
             {"LORA_RANK": 2}
         )
     )
-    base = ex.state.params
+    base = ex._ensure_params()  # eval-mode init is deferred
 
     def make_adapter(seed):
         """Adapter with NON-zero b so the merged model differs from base."""
