@@ -503,6 +503,20 @@ class BaseExecutor:
                 raw_params["base"], raw_params["lora"],
                 float(restored.get("lora_scale", 1.0)),
             )
+        if (
+            self.mode != "train"
+            and getattr(self.model_config.t5, "dtype", None) == jnp.bfloat16
+        ):
+            # eval/predict/serve only ever run the bf16 inference cast of
+            # these weights (`_inference_params`) — cast HOST-SIDE before
+            # placement so the device never holds the f32 masters: halves
+            # both the restore H2D bytes and the serving HBM footprint.
+            # Same bits as the on-device cast (both round-to-nearest-even).
+            raw_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == np.float32 else x,
+                raw_params,
+            )
         params = place_tree(self.mesh, raw_params)
         self.state = self.state.replace(params=params)
         self._abstract_params = False  # the deferred init is now satisfied

@@ -76,6 +76,34 @@ def test_eval_mode_defers_param_init(trained):
     assert ev2._ensure_params() is ev2.state.params
 
 
+def test_nontrain_restore_casts_bf16_hostside(tmp_path):
+    """bf16-model eval/serve restores cast the f32 checkpoint masters
+    HOST-side, so the device never holds the f32 tree (half the restore
+    H2D bytes and serving HBM) — and answers are identical to the
+    train-mode executor's cast-at-inference path (both casts are
+    round-to-nearest-even)."""
+    import jax
+    import jax.numpy as jnp
+
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, DTYPE="bfloat16",
+        max_eval_length=8,
+    )
+    config = get_config(yaml_path)
+    tr = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tr.run()
+    want = tr.infer(tr.val_data, config.EVAL_BATCH_SIZE, 8)
+
+    ev = EXECUTORS.get(config.EXECUTOR)(config, mode="eval", evaltype="last")
+    ev._load_trained_checkpoint("last")
+    leaves = [x for x in jax.tree.leaves(ev.state.params) if hasattr(x, "dtype")]
+    assert not any(x.dtype == np.float32 for x in leaves)
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)
+    got = ev.infer(ev.val_data, config.EVAL_BATCH_SIZE, 8)
+    assert got == want
+
+
 def test_predict_mode_writes_results(trained):
     config, _, save_path = trained
     executor = EXECUTORS.get(config.EXECUTOR)(
