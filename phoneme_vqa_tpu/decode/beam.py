@@ -103,14 +103,15 @@ def beam_decode(
     seqs = jnp.full((b, k, max_length), pad_id, jnp.int32).at[:, :, 0].set(bos_id)
     scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
     finished = jnp.zeros((b, k), bool)
+    counts = jnp.zeros((b, k), jnp.float32)  # emitted (scored) tokens per beam
     cache, static = _split_static(cache)  # ck/cv never reordered
 
     def cond(state):
-        i, _, _, _, finished = state
+        i, _, _, _, finished, _ = state
         return (i < max_length - 1) & ~jnp.all(finished)
 
     def body(state):
-        i, seqs, scores, cache, finished = state
+        i, seqs, scores, cache, finished, counts = state
         cur = lax.dynamic_slice(seqs, (0, 0, i), (b, k, 1)).reshape(b * k)
         logits, cache = step_fn(cur, {**cache, **static}, i)
         cache, _ = _split_static(cache)
@@ -128,17 +129,24 @@ def beam_decode(
 
         seqs = jnp.take_along_axis(seqs, beam_idx[:, :, None], axis=1)
         seqs = lax.dynamic_update_slice(seqs, token[:, :, None], (0, 0, i + 1))
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (token == eos_id)
+        prev_fin = jnp.take_along_axis(finished, beam_idx, axis=1)
+        # count every SCORED emission (EOS included; a mid-sequence pad from
+        # degenerate logits counts too — it was scored into the sum), not
+        # post-hoc `!= pad_id` occurrences, which would skew the mean
+        counts = jnp.take_along_axis(counts, beam_idx, axis=1) + (
+            ~prev_fin
+        ).astype(jnp.float32)
+        finished = prev_fin | (token == eos_id)
         cache = _gather_beams(cache, beam_idx, b, k)
-        return i + 1, seqs, new_scores, cache, finished
+        return i + 1, seqs, new_scores, cache, finished, counts
 
-    _, seqs, scores, _, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), seqs, scores, cache, finished)
+    _, seqs, scores, _, _, counts = lax.while_loop(
+        cond, body, (jnp.int32(0), seqs, scores, cache, finished, counts)
     )
     best = jnp.argmax(scores, axis=1)
     best_seq = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
     if with_scores:
-        emitted = jnp.sum((best_seq[:, 1:] != pad_id), axis=1).astype(jnp.float32)
+        emitted = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
         best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
         return best_seq, best_score / jnp.maximum(emitted, 1.0)
     return best_seq
@@ -165,14 +173,15 @@ def multi_head_beam_decode(
     seqs = seqs.at[:, :, 0, :].set(bos_id)
     scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
     finished = jnp.zeros((b, k), bool)
+    counts = jnp.zeros((b, k), jnp.float32)  # emitted component ids per beam
     cache, static = _split_static(cache)  # ck/cv never reordered
 
     def cond(state):
-        i, _, _, _, finished = state
+        i, _, _, _, finished, _ = state
         return (i < max_length - 1) & ~jnp.all(finished)
 
     def body(state):
-        i, seqs, scores, cache, finished = state
+        i, seqs, scores, cache, finished, counts = state
         cur = lax.dynamic_slice(seqs, (0, 0, i, 0), (b, k, 1, num_c)).reshape(
             b * k, num_c
         )
@@ -221,21 +230,23 @@ def multi_head_beam_decode(
         seqs = lax.dynamic_update_slice(
             seqs, token[:, :, None, :], (0, 0, i + 1, 0)
         )
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (
-            token[:, :, stop_component] == eos_id
-        )
+        prev_fin = jnp.take_along_axis(finished, beam_idx, axis=1)
+        # count scored emissions in-loop (num_c ids per live step), not
+        # post-hoc pad_id occurrences in the final sequence
+        counts = jnp.take_along_axis(counts, beam_idx, axis=1) + num_c * (
+            ~prev_fin
+        ).astype(jnp.float32)
+        finished = prev_fin | (token[:, :, stop_component] == eos_id)
         cache = _gather_beams(cache, beam_idx, b, k)
-        return i + 1, seqs, new_scores, cache, finished
+        return i + 1, seqs, new_scores, cache, finished, counts
 
-    _, seqs, scores, _, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), seqs, scores, cache, finished)
+    _, seqs, scores, _, _, counts = lax.while_loop(
+        cond, body, (jnp.int32(0), seqs, scores, cache, finished, counts)
     )
     best = jnp.argmax(scores, axis=1)
     best_seq = jnp.take_along_axis(seqs, best[:, None, None, None], axis=1)[:, 0]
     if with_scores:
-        emitted = num_c * jnp.sum(
-            (best_seq[:, 1:, stop_component] != pad_id), axis=1
-        ).astype(jnp.float32)
+        emitted = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
         best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
         return best_seq, best_score / jnp.maximum(emitted, 1.0)
     return best_seq

@@ -50,7 +50,12 @@ def make_sample_generate_fn(
     """Stochastic generation (``SAMPLE: true`` + TEMPERATURE/TOP_K/TOP_P):
     the greedy whole-sequence program with categorical sampling over
     temperature/top-k/nucleus-filtered logits. Deterministic per (seed,
-    step); temperature 0 or top_k 1 degenerate to greedy."""
+    step); temperature 0 or top_k 1 degenerate to greedy.
+
+    ``generate(params, batch, rng=None)`` — pass a per-call PRNG key so
+    repeated calls on the same input draw DIFFERENT noise (diverse answers /
+    self-consistency voting); ``None`` falls back to the fixed ``seed``
+    (deterministic across calls, for tests)."""
     from ..decode.sample import sample_decode
 
     t5c = model.cfg.t5
@@ -58,7 +63,7 @@ def make_sample_generate_fn(
     eos = t5c.eos_token_id if eos_id is None else eos_id
     pad = t5c.pad_token_id if pad_id is None else pad_id
 
-    def generate(params, batch):
+    def generate(params, batch, rng=None):
         cache, full_bias, enc_mask = model.apply(
             {"params": params}, batch, max_length,
             method=type(model).encode_for_generate,
@@ -73,7 +78,7 @@ def make_sample_generate_fn(
         return sample_decode(
             step, cache, enc_mask.shape[0], max_length, bos, eos, pad,
             seed=seed, temperature=temperature, top_k=top_k, top_p=top_p,
-            with_scores=with_scores,
+            rng=rng, with_scores=with_scores,
         )
 
     return generate

@@ -156,6 +156,12 @@ class ServingEngine:
         self._stopped = False
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        # serializes every weight swap: the worker's _activate (adapter
+        # merges) vs reload() on HTTP/watcher threads, and reload vs reload.
+        # Without it a merge landing between reload's restore and its
+        # _base_params capture would make the OLD base + adapter the new
+        # "base" — permanently poisoned weights.
+        self._swap_lock = threading.Lock()
         self._served = 0
         self._failed = 0
         self._batches = 0
@@ -408,12 +414,17 @@ class ServingEngine:
             if self._stopped:
                 raise RuntimeError("engine stopped")
         t0 = time.monotonic()
-        self.executor._load_trained_checkpoint(loadtype)
-        # the reloaded weights are the new BASE; adapters re-merge onto it
-        # lazily at the next adapter-routed batch
-        if self._adapters:
-            self._base_params = self.executor.state.params
-            self._active_adapter = None
+        # _swap_lock: no adapter merge (_activate, worker thread) or
+        # concurrent reload (watcher + /reload) may interleave between the
+        # restore and the _base_params capture — the capture must see exactly
+        # the restored tree, never a merged one
+        with self._swap_lock:
+            self.executor._load_trained_checkpoint(loadtype)
+            # the reloaded weights are the new BASE; adapters re-merge onto
+            # it lazily at the next adapter-routed batch
+            if self._adapters:
+                self._base_params = self.executor.state.params
+                self._active_adapter = None
         with self._stats_lock:
             self._cache.clear()
             self._reloads += 1
@@ -441,20 +452,24 @@ class ServingEngine:
     def _activate(self, adapter) -> None:
         """Swap the executor onto ``adapter`` (None = base): one jitted
         param-tree multiply-add per switch, skipped when the adapter is
-        already active. Runs only on the worker thread (no lock needed —
-        the executor's params are read by infer on this same thread)."""
-        if not self._adapters or adapter == self._active_adapter:
+        already active. Runs on the worker thread; _swap_lock orders it
+        against reload() on HTTP/watcher threads (the _active_adapter check
+        itself must be inside the lock — reload resets it to None)."""
+        if not self._adapters:
             return
-        if adapter is None:
-            params = self._base_params
-        else:
-            spec = self._adapters[adapter]
-            params = self._merge(
-                self._base_params, spec["lora"], float(spec["scale"])
-            )
-        self.executor.state = self.executor.state.replace(params=params)
-        self.executor._bf16_params_cache = None
-        self._active_adapter = adapter
+        with self._swap_lock:
+            if adapter == self._active_adapter:
+                return
+            if adapter is None:
+                params = self._base_params
+            else:
+                spec = self._adapters[adapter]
+                params = self._merge(
+                    self._base_params, spec["lora"], float(spec["scale"])
+                )
+            self.executor.state = self.executor.state.replace(params=params)
+            self.executor._bf16_params_cache = None
+            self._active_adapter = adapter
         with self._stats_lock:
             self._adapter_switches += 1
 

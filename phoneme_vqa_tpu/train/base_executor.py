@@ -834,7 +834,7 @@ class BaseExecutor:
                     "(!) SAMPLE and SPEC_DECODE both set — sampling wins "
                     "(speculative verification is greedy-only)"
                 )
-            return jax.jit(make_sample_generate_fn(
+            jitted = jax.jit(make_sample_generate_fn(
                 self.model, max_length,
                 temperature=float(self.config.get("TEMPERATURE", 1.0)),
                 top_k=int(self.config.get("TOP_K", 0) or 0),
@@ -842,6 +842,20 @@ class BaseExecutor:
                 seed=int(self.config.get("SEED", 13)),
                 with_scores=with_scores,
             ))
+            # fold a per-call counter into the key: repeated infer calls /
+            # batches on the same input draw DIFFERENT noise (the module's
+            # point — diverse answers, self-consistency voting), while one
+            # process stays reproducible from SEED. The key is a traced
+            # argument, so no recompile per call.
+            base_rng = jax.random.PRNGKey(int(self.config.get("SEED", 13)))
+            calls = itertools.count()
+
+            def generate(params, batch):
+                return jitted(
+                    params, batch, jax.random.fold_in(base_rng, next(calls))
+                )
+
+            return generate
         spec_k = int(self.config.get("SPEC_DECODE", 0) or 0)
         if spec_k > 1:
             if not getattr(type(self.model), "spec_decode_supported", False):

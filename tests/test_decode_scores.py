@@ -126,6 +126,35 @@ def test_multi_head_scores(table):
     np.testing.assert_allclose(np.asarray(scores), want, rtol=1e-5)
 
 
+def test_beam_scores_count_mid_sequence_pad(table):
+    """A beam can emit pad_id mid-sequence from degenerate logits; that pad
+    was SCORED into the cumulative sum, so it must count toward the mean's
+    denominator (tracked in-loop, not inferred from `!= pad_id` post hoc)."""
+    t = np.full((MAX_LEN, 1, V), -5.0, np.float32)
+    t[0, 0, 0] = 5.0  # step 0: argmax is pad_id (0) — does NOT finish
+    t[1, 0, EOS] = 5.0  # step 1: EOS finishes the beam
+    t = jnp.asarray(t)
+
+    def step(tokens, cache, i):  # beam caches: dicts of batch-major leaves
+        return jnp.take(t, i, axis=0), {"n": cache["n"] + 1}
+
+    ids, scores = beam_decode(
+        step, {"n": jnp.zeros((1,), jnp.int32)}, 1, 1, MAX_LEN, 0, EOS, 0,
+        with_scores=True,
+    )
+    ids = np.asarray(ids)
+    np.testing.assert_array_equal(ids[0, 1:3], [0, EOS])
+
+    def lp(i, tok):
+        row = np.asarray(t[i, 0], np.float64)
+        return row[tok] - (np.log(np.sum(np.exp(row - row.max()))) + row.max())
+
+    want = (lp(0, 0) + lp(1, EOS)) / 2.0  # two scored emissions, pad included
+    np.testing.assert_allclose(np.asarray(scores)[0], want, rtol=1e-5, atol=1e-6)
+    # the old post-hoc `!= pad_id` count would have divided by 1, not 2
+    assert abs(np.asarray(scores)[0] - 2 * want) > 1e-7 or abs(want) < 1e-12
+
+
 # -- real-model paths: speculative and beam agree with greedy -----------------
 
 TINY = T5Config(

@@ -134,3 +134,18 @@ def test_executor_sample_knob(tmp_path):
     preds = ex.infer(ex.val_data, 4, 8)
     assert len(preds) == len(ex.val_data)
     assert all(isinstance(p, str) for p in preds)
+
+    # repeated calls on the SAME input draw different noise (a per-call
+    # counter is folded into the key) — without it every infer call / server
+    # run would return identical "samples", defeating diverse answers and
+    # self-consistency voting. Raw ids, not strings: near-uniform random-init
+    # logits make an id-level collision across two (4, 8) draws negligible.
+    from phoneme_vqa_tpu.data.loader import batch_iterator
+
+    gen = ex._get_generate_fn(8)
+    params = ex._inference_params()
+    batch, _ = next(batch_iterator(ex.val_data, 4, pad_final=True))
+    model_batch = ex._shard(ex._model_batch(batch))
+    a = np.asarray(gen(params, model_batch))
+    b = np.asarray(gen(params, model_batch))
+    assert not np.array_equal(a, b), "two sampling calls drew identical noise"

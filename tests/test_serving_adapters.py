@@ -103,6 +103,69 @@ def test_adapter_routing_matches_manual_merge(setup):
     assert s["failed"] == 0
 
 
+def test_reload_vs_adapter_merge_race(setup):
+    """reload() on an HTTP/watcher thread must serialize against the worker's
+    _activate(): a merge landing between the checkpoint restore and the
+    _base_params capture would make OLD-base+adapter the new "base" —
+    permanently poisoned weights. The engine's _swap_lock orders them; the
+    base capture must be exactly the restored tree (identity check)."""
+    import threading
+    import time as _time
+
+    ex, ocr_df, config, qa, base, adapters = setup
+    new_base = jax.tree.map(lambda x: x + 0.01, base)
+
+    eng = ServingEngine(ex, ocr_df, batch_size=2, warmup=False,
+                        adapters=adapters)
+    try:
+        restored = threading.Event()
+
+        def fake_restore(loadtype):
+            # stand-in for _load_trained_checkpoint: install the new tree,
+            # then linger — the window where the old code read
+            # executor.state.params AFTER a concurrent merge could land
+            ex.state = ex.state.replace(params=new_base)
+            ex._bf16_params_cache = None
+            restored.set()
+            _time.sleep(0.3)
+
+        orig = ex._load_trained_checkpoint
+        ex._load_trained_checkpoint = fake_restore
+        try:
+            # simulate the worker switching adapters mid-reload
+            racer_done = threading.Event()
+
+            def racer():
+                restored.wait(5)
+                eng._activate("a1")  # must block until reload's capture
+                racer_done.set()
+
+            t = threading.Thread(target=racer)
+            t.start()
+            eng.reload("best")
+            t.join(10)
+            assert racer_done.is_set()
+        finally:
+            ex._load_trained_checkpoint = orig
+
+        # the poison check: base is the restored tree itself, never a merge
+        assert eng._base_params is new_base
+        # and the racer's merge was computed ON the new base
+        assert eng._active_adapter == "a1"
+        merged_leaf = jax.tree.leaves(ex.state.params)[0]
+        want_leaf = jax.tree.leaves(
+            lora_mod.merge_lora(new_base, adapters["a1"]["lora"],
+                                adapters["a1"]["scale"])
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(merged_leaf), np.asarray(want_leaf), rtol=1e-6
+        )
+    finally:
+        eng.stop()
+        ex.state = ex.state.replace(params=base)
+        ex._bf16_params_cache = None
+
+
 def test_mismatched_adapter_fails_fast(setup):
     ex, ocr_df, config, qa, base, adapters = setup
     bad = {
