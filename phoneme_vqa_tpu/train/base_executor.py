@@ -307,6 +307,13 @@ class BaseExecutor:
             "opt_state": self.state.opt_state,
             "step": np.asarray(self.state.step, np.int64),
             "epoch": np.asarray(self.state.epoch, np.int64),
+            # 0 at epoch boundaries; >0 for a SAVE_EVERY_STEPS mid-epoch
+            # checkpoint — resume continues the interrupted epoch from the
+            # NEXT batch (the shuffle is seeded per epoch, so the remaining
+            # trajectory is exactly what the uninterrupted run would do)
+            "step_in_epoch": np.asarray(
+                getattr(self, "_step_in_epoch", 0), np.int64
+            ),
             "best_score": np.asarray(self.best_score, np.float32),
         }
         if self.state.ema_params is not None:
@@ -365,7 +372,20 @@ class BaseExecutor:
                 ema_params=restored.get("ema_params", self.state.ema_params),
             )
             self.best_score = float(restored["best_score"])
-            log.info(f"###Resumed from {name}_ckp (epoch {int(self.state.epoch)})")
+            # mid-epoch checkpoint (SAVE_EVERY_STEPS): continue epoch+1 from
+            # the batch AFTER the one this checkpoint followed, instead of
+            # replaying the whole epoch (the reference loses up to an epoch
+            # per preemption: base_executor.py:174-184)
+            self._resume_step_in_epoch = int(restored.get("step_in_epoch", 0))
+            at = (
+                f", step {self._resume_step_in_epoch} into epoch "
+                f"{int(self.state.epoch) + 1}"
+                if self._resume_step_in_epoch
+                else ""
+            )
+            log.info(
+                f"###Resumed from {name}_ckp (epoch {int(self.state.epoch)}{at})"
+            )
             return
 
     @staticmethod
@@ -475,6 +495,7 @@ class BaseExecutor:
             ),
         )
         self.best_score = float(raw.get("best_score", 0.0))
+        self._resume_step_in_epoch = int(raw.get("step_in_epoch", 0) or 0)
         log.info(
             f"###Resumed PARAMS ONLY from {name}_ckp (converted/partial/"
             "optimizer-mismatched checkpoint) — optimizer starts fresh at "
@@ -799,27 +820,44 @@ class BaseExecutor:
             shard=host, num_shards=n_hosts,
         )
         batches = self._maybe_prefetch(batches)
-        # preemption safety (SURVEY §5): periodically refresh last_ckp inside
-        # the epoch so at most SAVE_EVERY_STEPS steps of work are lost to a
-        # preemption; resume granularity stays per-epoch (the interrupted
-        # epoch restarts), matching the reference's auto-resume contract
+        # preemption safety (SURVEY §5): SAVE_EVERY_STEPS refreshes last_ckp
+        # inside the epoch (tagged with step_in_epoch), and a resumed run
+        # fast-forwards the epoch-seeded shuffle past the already-trained
+        # batches — at most SAVE_EVERY_STEPS steps of work are lost AND
+        # replayed to a preemption (the reference replays the whole epoch)
         save_every = int(c.get("SAVE_EVERY_STEPS", 0) or 0)
+        skip = int(getattr(self, "_resume_step_in_epoch", 0) or 0)
+        self._resume_step_in_epoch = 0  # only the interrupted epoch skips
+        if skip:
+            log.info(
+                f"--TRAINING--|Epoch: {epoch}| fast-forwarding {skip} "
+                f"already-trained batches from the mid-epoch checkpoint"
+            )
         with maybe_trace(profile_dir, "train_epoch"):
             for batch, _ in batches:
+                if it < skip:
+                    it += 1
+                    continue
                 self.state, loss = self.train_step(
                     self.state, self._shard(batch, process_local=True)
                 )
                 total += float(loss)
                 timer.tick(c.TRAIN_BATCH_SIZE)
                 it += 1
-                if it == 1 or it % 20 == 0 or it == n_steps:
+                if it == skip + 1 or it % 20 == 0 or it == n_steps:
                     log.info(
                         f"--TRAINING--|Epoch: {epoch}| Step: {it}/{n_steps} "
-                        f"| Loss: {round(total / it, 2)} | {timer.summary()}"
+                        f"| Loss: {round(total / max(it - skip, 1), 2)} "
+                        f"| {timer.summary()}"
                     )
                 if save_every and c.get("SAVE") and it % save_every == 0:
+                    # tagged even at it == n_steps: the epoch-end bookkeeping
+                    # (eval, epoch counter) hasn't run yet, so a resume must
+                    # skip ALL batches rather than replay a trained epoch
+                    self._step_in_epoch = it
                     self._save_checkpoint("last")
-        return total / max(it, 1)
+                    self._step_in_epoch = 0
+        return total / max(it - skip, 1)
 
     def _build_generate_fn(self, max_length: int, with_scores: bool = False):
         from ..models.generate import (

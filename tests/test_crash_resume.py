@@ -78,7 +78,69 @@ def test_sigkill_mid_train_then_resume_completes(tmp_path):
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
 
 
-def test_optimizer_switch_resumes_params_and_step(tmp_path):
+class _Die(Exception):
+    pass
+
+
+def _capture_losses(ex, sink, die_after=None):
+    """Record per-step losses; optionally raise BEFORE computing step
+    die_after+1 (so the last saved checkpoint reflects step die_after)."""
+    inner = ex.train_step
+
+    def wrapped(state, batch):
+        if die_after is not None and len(sink) >= die_after:
+            raise _Die
+        state, loss = inner(state, batch)
+        sink.append(float(loss))
+        return state, loss
+
+    ex.train_step = wrapped
+
+
+def test_step_level_resume_matches_uninterrupted_trajectory(tmp_path):
+    """SAVE_EVERY_STEPS + step-level resume: a run killed mid-epoch and
+    resumed must produce EXACTLY the per-step losses of the uninterrupted
+    run from that point — the interrupted epoch continues at the next batch
+    (epoch-seeded shuffle fast-forward), it does not restart. The reference
+    replays up to a full epoch (base_executor.py:174-184)."""
+    import numpy as np
+
+    from phoneme_vqa_tpu import registry_setup  # noqa: F401
+    from phoneme_vqa_tpu.config import get_config
+    from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+    from .fixtures import make_latr_fixture, tiny_latr_yaml
+
+    paths = make_latr_fixture(tmp_path)
+    common = dict(NUM_EPOCHS=2, SAVE=True, SAVE_EVERY_STEPS=1,
+                  TRAIN_BATCH_SIZE=2)
+
+    # --- run A: uninterrupted, 2 epochs x 6 steps -------------------------
+    ya = tiny_latr_yaml(paths, str(tmp_path / "ckA"), **common)
+    exa = EXECUTORS.get(get_config(ya).EXECUTOR)(get_config(ya), mode="train")
+    losses_a: list = []
+    _capture_losses(exa, losses_a)
+    exa.run()
+    assert len(losses_a) == 12
+
+    # --- run B: die mid-epoch-1 (after step 4 of 6), then resume ----------
+    yb = tiny_latr_yaml(paths, str(tmp_path / "ckB"), **common)
+    exb = EXECUTORS.get(get_config(yb).EXECUTOR)(get_config(yb), mode="train")
+    losses_b: list = []
+    _capture_losses(exb, losses_b, die_after=4)
+    with pytest.raises(_Die):
+        exb.run()
+    exb.ckpt.wait()
+    assert len(losses_b) == 4
+
+    exb2 = EXECUTORS.get(get_config(yb).EXECUTOR)(get_config(yb), mode="train")
+    assert int(exb2.state.step) == 4
+    assert exb2._resume_step_in_epoch == 4  # mid-epoch tag restored
+    _capture_losses(exb2, losses_b)
+    exb2.run()
+    assert len(losses_b) == 12
+
+    np.testing.assert_allclose(losses_b, losses_a, rtol=0, atol=0)
     """Switching OPTIMIZER (adam -> adafactor) on an existing run must not
     silently restart from scratch: the full-checkpoint restore fails on the
     opt_state template, but the trained params AND step are salvaged with a
