@@ -52,6 +52,25 @@ class _Request:
         self.adapter = adapter  # LoRA adapter name, or None = base
 
 
+def featurize_requests(executor, ocr_df, obj_df, reqs: List[_Request]):
+    """Requests -> the executor's own eval-path arrays (a small QA frame
+    joined against the preloaded OCR/object stores via ``_make_dataset``)."""
+    qa = pd.DataFrame(
+        {
+            "image_id": [r.image_id for r in reqs],
+            "question": [r.question for r in reqs],
+            # the data layer featurizes answers for teacher forcing;
+            # serving has none — a dummy keeps the row schema intact
+            "answer": [""] * len(reqs),
+            "filename": [f"{r.image_id}.jpg" for r in reqs],
+        }
+    )
+    qa["image_id"] = qa["image_id"].astype(ocr_df["image_id"].dtype)
+    if obj_df is not None:
+        return executor._make_dataset(qa, ocr_df, obj_df)
+    return executor._make_dataset(qa, ocr_df)
+
+
 class ServingEngine:
     """Batches concurrent answer requests through ``executor.infer``.
 
@@ -68,6 +87,12 @@ class ServingEngine:
     warmup: compile the executable at construction, not on first request.
     max_queue: >0 bounds pending requests; submit raises when full
         (backpressure instead of unbounded accumulation under overload).
+        **-1 derives a sane bound automatically (4 x batch_size).** A bound
+        below 2 x batch_size STARVES the batcher — the queue can never hold
+        a full batch plus arrivals, so the engine decodes partial batches
+        and goodput collapses far below capacity (measured: 22.7 req/s vs
+        ~62 req/s capacity with batch 16 / max_queue 8) — a loud warning is
+        logged. 0 = unbounded (benchmarks; not production).
     cache_size: >0 memoizes up to that many (image_id, question) -> answer
         pairs (LRU). Decode is deterministic and weights only change through
         :meth:`reload` (which clears the cache), so repeats are answered
@@ -152,6 +177,21 @@ class ServingEngine:
         # max_queue > 0 bounds admission: submit raises instead of letting an
         # overloaded server accumulate unbounded work (stop()'s sentinel uses
         # a blocking put, so the bound never deadlocks shutdown)
+        if max_queue < 0:
+            # auto: deep enough to hold the in-assembly batch plus a full
+            # next batch of arrivals at any admission instant, so rejection
+            # starts only past real capacity, not below it
+            max_queue = 4 * self.batch_size
+        elif 0 < max_queue < 2 * self.batch_size:
+            log.warning(
+                f"(!) max_queue={max_queue} < 2*batch_size="
+                f"{2 * self.batch_size} STARVES the batcher: the queue can "
+                "never hold a full batch plus arrivals, so decodes run "
+                "partial and goodput collapses below capacity. Use "
+                f">= {2 * self.batch_size} (or -1 to auto-derive "
+                f"{4 * self.batch_size})."
+            )
+        self.max_queue = max_queue
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self._stopped = False
         self._lock = threading.Lock()

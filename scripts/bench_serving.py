@@ -50,12 +50,14 @@ BASE_DIMS = dict(
 )
 
 
-def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None):
+def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
+                 continuous: bool = False, horizon: int = 8,
+                 prefill_chunk: int = 4):
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
     from phoneme_vqa_tpu.data.synthetic import make_latr_fixture, tiny_latr_yaml
-    from phoneme_vqa_tpu.serving import ServingEngine
+    from phoneme_vqa_tpu.serving import ContinuousEngine, ServingEngine
     from phoneme_vqa_tpu.utils.registry import EXECUTORS
 
     paths = make_latr_fixture(work, n_images=8, n_rows=16, image_hw=224)
@@ -69,11 +71,18 @@ def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None):
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
     ocr_df = textlayout_ocr_adapt(paths["ocr"])
     t0 = time.perf_counter()
-    eng = ServingEngine(
-        ex, ocr_df, batch_size=batch, max_wait_ms=30.0,
-        max_answer_length=20, warmup=True, max_queue=max_queue,
-        buckets=buckets,
-    )
+    if continuous:
+        eng = ContinuousEngine(
+            ex, ocr_df, num_slots=batch, prefill_chunk=prefill_chunk,
+            horizon=horizon, max_answer_length=20, warmup=True,
+            max_queue=max_queue,
+        )
+    else:
+        eng = ServingEngine(
+            ex, ocr_df, batch_size=batch, max_wait_ms=30.0,
+            max_answer_length=20, warmup=True, max_queue=max_queue,
+            buckets=buckets,
+        )
     log(f"engine up (warmup compile {time.perf_counter() - t0:.1f}s)")
     ids = sorted(eng._known_ids)
     return eng, ids
@@ -158,6 +167,11 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--duration", type=float, default=30.0)
     p.add_argument("--work", default="/tmp/bench_serving")
+    p.add_argument("--continuous", action="store_true",
+                   help="bench the slot-based ContinuousEngine instead of "
+                        "the gathered-batch ServingEngine (--batch = slots)")
+    p.add_argument("--horizon", type=int, default=8)
+    p.add_argument("--prefill-chunk", type=int, default=4)
     p.add_argument("--lone", type=int, default=0, metavar="N",
                    help="measure N lone-request latencies with the single "
                         "--batch shape vs a [1, --batch] bucket ladder, "
@@ -194,7 +208,10 @@ def main():
         }, indent=2))
         return
 
-    eng, ids = build_engine(args.work, args.batch)
+    eng, ids = build_engine(
+        args.work, args.batch, continuous=args.continuous,
+        horizon=args.horizon, prefill_chunk=args.prefill_chunk,
+    )
     cap = flood_capacity(eng, ids)
 
     runs = []
@@ -203,17 +220,25 @@ def main():
         r = open_loop(eng, ids, rate=cap * mult, duration=args.duration,
                       seed=int(mult * 10))
         s = eng.stats()
+        nb = lambda d: d.get("batches", d.get("decode_dispatches", 0))
         r.update(
             label=label,
             p50_ms=s["p50_ms"], p95_ms=s["p95_ms"],
-            batches=s["batches"] - stats0["batches"],
+            batches=nb(s) - nb(stats0),
         )
         runs.append(r)
         log(f"{label}: {r}")
 
-    # overload with a bounded queue: the 503/backpressure path must fire
+    # overload with a SANE bounded queue (auto: 4x batch): the
+    # 503/backpressure path must fire while goodput HOLDS near capacity —
+    # a bound below 2x batch starves the batcher into partial decodes
+    # (measured 22.7 req/s vs ~62 capacity at batch 16 / max_queue 8)
     eng.stop()
-    eng2, ids = build_engine(args.work + "_bp", args.batch, max_queue=8)
+    eng2, ids = build_engine(
+        args.work + "_bp", args.batch, max_queue=-1,
+        continuous=args.continuous, horizon=args.horizon,
+        prefill_chunk=args.prefill_chunk,
+    )
     r = open_loop(eng2, ids, rate=cap * 2.0, duration=min(args.duration, 15.0),
                   seed=99)
     s = eng2.stats()
@@ -224,6 +249,7 @@ def main():
 
     print(json.dumps({
         "bench": "serving_open_loop",
+        "engine": "continuous" if args.continuous else "gathered",
         "batch": args.batch,
         "flood_capacity_answers_per_sec": round(cap, 1),
         "runs": runs,

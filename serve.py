@@ -59,8 +59,11 @@ def parse_args():
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="serve HTTP on PORT instead of stdin/stdout "
                         "(POST /answer, GET /stats, GET /healthz)")
-    p.add_argument("--max-queue", type=int, default=0,
-                   help=">0 bounds pending requests (backpressure)")
+    p.add_argument("--max-queue", type=int, default=-1,
+                   help=">0 bounds pending requests (backpressure; values "
+                        "below 2x batch starve the batcher — warned). "
+                        "-1 (default) auto-derives 4x --batch-size; "
+                        "0 = unbounded")
     p.add_argument("--cache-size", type=int, default=0,
                    help=">0 memoizes repeated (image_id, question) answers (LRU)")
     p.add_argument("--deadline-s", type=float, default=0, metavar="SECONDS",
@@ -98,6 +101,17 @@ def parse_args():
                    help=">0 polls the served checkpoint's mtime and "
                         "hot-reloads new weights with no downtime (a trainer "
                         "can keep writing checkpoints next to a live server)")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: slot-based decode with "
+                        "step-boundary refill (stock-T5-decoder families; "
+                        "--batch-size becomes the slot count). Incompatible "
+                        "with --adapter/--cache-size/--confidence/--buckets/"
+                        "--aot for now")
+    p.add_argument("--horizon", type=int, default=8,
+                   help="continuous mode: decode steps per device dispatch "
+                        "(refill granularity)")
+    p.add_argument("--prefill-chunk", type=int, default=4,
+                   help="continuous mode: rows per compiled prefill")
     return p.parse_args()
 
 
@@ -136,6 +150,30 @@ def build_engine(args):
                 _f.write(json.dumps(rec, ensure_ascii=False) + "\n")
 
         log.info(f"## access log -> {args.access_log}")
+    if args.continuous:
+        from phoneme_vqa_tpu.serving import ContinuousEngine
+
+        unsupported = [
+            flag for flag, on in (
+                ("--adapter", bool(adapters)), ("--cache-size", args.cache_size),
+                ("--confidence", args.confidence), ("--buckets", args.buckets),
+                ("--aot", args.aot),
+            ) if on
+        ]
+        if unsupported:
+            raise SystemExit(
+                f"--continuous does not support {', '.join(unsupported)} yet"
+            )
+        return ContinuousEngine(
+            ex, ocr_df, obj_df,
+            num_slots=args.batch_size,
+            prefill_chunk=args.prefill_chunk,
+            horizon=args.horizon,
+            max_answer_length=max_len,
+            max_queue=args.max_queue,
+            default_deadline_s=args.deadline_s,
+            access_log=access_log,
+        )
     loaded = []
     if args.aot:
         from phoneme_vqa_tpu.serving import aot

@@ -531,6 +531,34 @@ def test_stats_and_backpressure():
     assert s["p50_ms"] is not None and s["p95_ms"] >= s["p50_ms"]
 
 
+def test_max_queue_auto_derivation_and_starvation_warning(caplog):
+    """max_queue=-1 derives 4x batch_size; an explicit bound below 2x batch
+    starves the batcher (partial decodes, goodput collapse) and must warn
+    loudly; 0 stays unbounded."""
+
+    class _Stub:
+        def _make_dataset(self, qa, ocr):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            return ["ans"] * len(ds)
+
+    ocr = pd.DataFrame({"image_id": [1.0]})
+    with ServingEngine(_Stub(), ocr, batch_size=16, warmup=False,
+                       max_queue=-1) as eng:
+        assert eng.max_queue == 64 and eng._queue.maxsize == 64
+    with ServingEngine(_Stub(), ocr, batch_size=16, warmup=False,
+                       max_queue=0) as eng:
+        assert eng.max_queue == 0  # unbounded
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        with ServingEngine(_Stub(), ocr, batch_size=16, warmup=False,
+                           max_queue=8) as eng:
+            assert eng.max_queue == 8  # honored, but warned
+    assert any("STARVES the batcher" in r.message for r in caplog.records)
+
+
 @pytest.mark.slow
 def test_sal_family_serves_with_object_store(tmp_path):
     """The engine is family-generic: a SaL serve-mode executor (OCR + object
