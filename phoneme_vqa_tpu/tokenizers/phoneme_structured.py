@@ -120,12 +120,15 @@ class StructuredPhonemeTokenizer:
     # -- decoding -----------------------------------------------------------
 
     def _compose_triple(self, onset_id: int, rhyme_id: int, tone_id: int) -> str:
+        # every special maps to "absent" in every slot: an untrained/degenerate
+        # model can argmax <_>/<bos>/<pad> into the rhyme or tone head, and
+        # decode must stay total (a crash here would take down serving)
         onset = self.inv["onset"].get(onset_id, "none")
         rhyme = self.inv["rhyme"].get(rhyme_id, "none")
         tone = self.inv["tone"].get(tone_id, "none")
-        onset = None if onset in ("none", "<pad>", "<bos>", "<eos>") else onset
-        rhyme = None if rhyme in ("none", "<pad>", "<bos>", "<eos>") else rhyme
-        tone = None if tone in ("none", "<pad>", "<bos>", "<eos>") else tone
+        onset = None if onset in _SPECIALS else onset
+        rhyme = None if rhyme in _SPECIALS else rhyme
+        tone = None if tone in _SPECIALS else tone
         if rhyme is None:
             return onset or ""
         medial, nucleus, coda = split_rhyme(rhyme, q_onset=onset == "q")
