@@ -163,14 +163,23 @@ def multi_head_beam_decode(
     pad_id: int,
     stop_component: int = 0,
     with_scores: bool = False,
+    bos_triple=None,
 ) -> jnp.ndarray:
     """Joint-log-prob beam over component triples. Returns (B, T, C) int32;
     ``with_scores=True`` adds (B,) f32 mean log-prob per emitted component id
-    (winning beam's joint score over emitted steps × C heads)."""
+    (winning beam's joint score over emitted steps × C heads).
+    ``bos_triple`` overrides the start ids per component (default: ``bos_id``
+    in every component — the aligned-specials convention; the PhonoLaTr
+    prototype starts from [bos, 0, 0], `ModelLaTr.py:287`)."""
     b, k = batch_size, num_beams
     num_c = 3
     seqs = jnp.full((b, k, max_length, num_c), pad_id, jnp.int32)
-    seqs = seqs.at[:, :, 0, :].set(bos_id)
+    start = (
+        jnp.full((num_c,), bos_id, jnp.int32)
+        if bos_triple is None
+        else jnp.asarray(bos_triple, jnp.int32)
+    )
+    seqs = seqs.at[:, :, 0, :].set(start)
     scores = jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0)
     finished = jnp.zeros((b, k), bool)
     counts = jnp.zeros((b, k), jnp.float32)  # emitted component ids per beam
