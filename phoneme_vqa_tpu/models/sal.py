@@ -61,6 +61,10 @@ class SaL_config:
 
 
 class SaLFusion(nn.Module):
+    # the decode cache is the stock T5 decoder's, so the per-row-position
+    # K-token step works (speculative verify + continuous-batching slots);
+    # the custom-decoder mixins (CustomizedSaL/PhonemeSaL) flip this off
+    spec_decode_supported = True
     """Shared fusion + bias for the SaL family."""
 
     cfg: SaLConfig
@@ -139,6 +143,11 @@ class SaLFusion(nn.Module):
 
     def decode_step(self, tokens, cache, index, full_bias, enc_mask):
         return self.t5.decode_step(tokens, cache, index, full_bias, enc_mask)
+
+    def decode_step_k(self, tokens, cache, pos, full_bias, enc_mask):
+        """K-token step at per-row positions (speculative verification and
+        the continuous-batching slot decode)."""
+        return self.t5.decode_step_k(tokens, cache, pos, full_bias, enc_mask)
 
 
 @MODELS.register("SaL")

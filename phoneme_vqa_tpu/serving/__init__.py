@@ -1,3 +1,4 @@
+from .continuous import ContinuousEngine
 from .engine import ServingEngine
 
-__all__ = ["ServingEngine"]
+__all__ = ["ServingEngine", "ContinuousEngine"]

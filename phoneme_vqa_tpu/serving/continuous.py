@@ -1,0 +1,463 @@
+"""Continuous batching: slot-based decode with step-boundary refill.
+
+The gathered-batch ``ServingEngine`` runs featurize -> H2D -> prefill -> FULL
+decode per batch; a request arriving mid-decode always waits out the whole
+decode, and the device idles during host-side batch assembly (measured p50
+~600 ms against 77 ms of device decode under load, docs/SERVING.md). This
+engine is the canonical TPU serving design instead:
+
+* **S request slots live inside one compiled decode program.** Every slot
+  advances one token per device step; slots sit at DIFFERENT sequence
+  positions, which the stock T5 cache already supports — the decode step is
+  ``decode_step_k`` with K=1, the per-row-position primitive built for
+  speculative verification (`models/t5.py: T5Decoder.step_k`).
+* **Prefill is decoupled from decode.** New requests are featurized and
+  encoded in fixed-size chunks by a separate compiled prefill executable and
+  scattered into free slots between decode dispatches — a request joins the
+  decode stream at the next step boundary instead of the next batch.
+* **The decode program runs a fixed HORIZON of steps per dispatch** so the
+  ~28 ms per-dispatch tax of this environment is amortized over many steps;
+  the horizon bounds refill latency (horizon x step-time), not correctness.
+* **No recompiles in steady state**: slot count, chunk size, horizon and all
+  array shapes are fixed at warmup; one trash slot absorbs the padding rows
+  of partial prefill chunks.
+
+Supported families: the stock-T5-decoder models (LaTr / PreSTU / SaL —
+``spec_decode_supported``). Custom-decoder families (Customized* / Phoneme*)
+keep the gathered-batch engine (`serve.py` falls back automatically).
+
+Greedy only (the production serving decode); answers equal
+``executor.infer``'s exactly in f32 — `tests/test_continuous.py` pins
+identity per family. In bf16 the per-row step's different reduction order
+can flip near-tie argmaxes (the repo-wide bf16 caveat, README).
+
+The reference has no serving story at all (its closest analog is the
+one-shot predict mode, `/root/reference/core/executor/base_executor.py:143`).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..utils.logger import get_logger
+from .engine import _Request, featurize_requests
+
+log = get_logger(__name__)
+
+
+class ContinuousEngine:
+    """Slot-based continuously-batched serving over an executor's model.
+
+    Parameters
+    ----------
+    executor: constructed executor (weights in place) of a stock-T5-decoder
+        family.
+    ocr_df / obj_df: preloaded feature stores (as ``ServingEngine``).
+    num_slots: concurrent request slots inside the decode program. Device
+        cost per step scales with S, so size it near the expected
+        concurrency (the throughput end of the latency/throughput curve).
+    prefill_chunk: rows per compiled prefill executable; partial chunks pad
+        into a trash slot.
+    horizon: decode steps per dispatch (refill granularity; amortizes the
+        per-dispatch overhead).
+    max_answer_length: decode length cap (same meaning as executor.infer).
+    max_queue: -1 auto (4 x num_slots), 0 unbounded, >0 explicit bound.
+    """
+
+    def __init__(
+        self,
+        executor,
+        ocr_df: pd.DataFrame,
+        obj_df: Optional[pd.DataFrame] = None,
+        num_slots: int = 16,
+        prefill_chunk: int = 4,
+        horizon: int = 8,
+        max_answer_length: int = 20,
+        max_queue: int = -1,
+        warmup: bool = True,
+        default_deadline_s: float = 0.0,
+        access_log=None,
+    ):
+        model = executor.model
+        if not getattr(type(model), "spec_decode_supported", False) or not hasattr(
+            type(model), "decode_step_k"
+        ):
+            raise ValueError(
+                f"{type(model).__name__} uses a custom decoder cache — "
+                "continuous batching needs the stock T5 per-row-position "
+                "step; serve this family with the gathered-batch engine"
+            )
+        self.executor = executor
+        self.ocr_df = ocr_df
+        self.obj_df = obj_df
+        self.S = int(num_slots)
+        self.C = int(prefill_chunk)
+        self.horizon = int(horizon)
+        self.max_answer_length = int(max_answer_length)
+        self.default_deadline_s = float(default_deadline_s)
+        self._access_log = access_log
+        self._id_dtype = ocr_df["image_id"].dtype
+        self._known_ids = set(ocr_df["image_id"])
+        if obj_df is not None:
+            self._known_ids &= set(obj_df["image_id"])
+        if not self._known_ids:
+            raise ValueError("feature store is empty")
+        if max_queue < 0:
+            max_queue = 4 * self.S
+        self.max_queue = max_queue
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=max_queue
+        )
+        self._stopped = False
+        self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._served = 0
+        self._failed = 0
+        self._expired = 0
+        self._dispatches = 0
+        self._latencies_ms: list = []
+        self._slot_steps = 0  # slot-steps decoded (occupancy numerator)
+        self._total_steps = 0  # S x steps (occupancy denominator)
+
+        t5c = model.cfg.t5
+        self._bos = int(t5c.decoder_start_token_id)
+        self._eos = int(t5c.eos_token_id)
+        self._pad = int(t5c.pad_token_id)
+
+        self._params = executor._inference_params()
+        self._build_compiled()
+        # host mirrors of slot occupancy: request + emitted tokens per slot
+        self._slot_req: List[Optional[_Request]] = [None] * self.S
+        self._slot_toks: List[List[int]] = [[] for _ in range(self.S)]
+        self._free = list(range(self.S))
+        self._waiting: List[_Request] = []
+        if warmup:
+            self._warmup()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- compiled programs ----------------------------------------------------
+
+    def _build_compiled(self):
+        model = self.executor.model
+        S1 = self.S + 1  # + trash slot (absorbs padded prefill rows)
+        maxl = self.max_answer_length
+        eos, pad = self._eos, self._pad
+
+        self._prefill = jax.jit(
+            lambda params, mb: model.apply(
+                {"params": params}, mb, maxl,
+                method=type(model).encode_for_generate,
+            )
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def insert(state, chunk_cache, chunk_mask, slots):
+            """Scatter a prefilled chunk into `slots` (trash id = S)."""
+            st = dict(state)
+            for n in ("k", "v", "ck", "cv"):
+                st[n] = st[n].at[:, slots].set(chunk_cache[n])
+            st["enc_mask"] = st["enc_mask"].at[slots].set(chunk_mask)
+            st["pos"] = st["pos"].at[slots].set(0)
+            st["cur"] = st["cur"].at[slots].set(self._bos)
+            active = st["active"].at[slots].set(True)
+            st["active"] = active.at[self.S].set(False)  # trash never decodes
+            return st
+
+        self._insert = insert
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode(params, state, full_bias):
+            def body(st, _):
+                cache = {n: st[n] for n in ("k", "v", "ck", "cv")}
+                logits, cache = model.apply(
+                    {"params": params}, st["cur"][:, None], cache, st["pos"],
+                    full_bias, st["enc_mask"],
+                    method=type(model).decode_step_k,
+                )
+                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                tok = jnp.where(st["active"], tok, pad)
+                new_pos = st["pos"] + st["active"].astype(jnp.int32)
+                # a slot stops on EOS or when it has emitted maxl-1 tokens
+                # (executor.infer's greedy cap: emissions fill positions
+                # 1..maxl-1 after the start token)
+                active = (
+                    st["active"] & (tok != eos) & (new_pos < maxl - 1)
+                )
+                st2 = dict(st, **cache)
+                st2["cur"] = jnp.where(st["active"], tok, st["cur"])
+                st2["pos"] = new_pos
+                st2["active"] = active
+                return st2, tok
+
+            state, toks = jax.lax.scan(
+                body, state, None, length=self.horizon
+            )
+            return state, toks  # toks: (horizon, S+1)
+
+        self._decode = decode
+        self._full_bias = None  # set at warmup (constant per max_len)
+        self._state = None
+
+    def _dummy_request(self) -> _Request:
+        return _Request(next(iter(self._known_ids)), "")
+
+    def _featurize(self, reqs):
+        return featurize_requests(self.executor, self.ocr_df, self.obj_df, reqs)
+
+    def _chunk_batch(self, reqs):
+        """Featurize reqs (<= C) and pad the model batch to exactly C rows."""
+        from ..data.loader import batch_iterator
+
+        ds = self._featurize(reqs)
+        if len(ds) != len(reqs):
+            raise RuntimeError(
+                f"featurization dropped rows: {len(ds)} != {len(reqs)}"
+            )
+        batch, _ = next(batch_iterator(ds, self.C, pad_final=True))
+        return self.executor._model_batch(batch)
+
+    def _warmup(self):
+        """Compile prefill + insert + decode and allocate the slot state."""
+        mb = self._chunk_batch([self._dummy_request()])
+        cache, full_bias, enc_mask = self._prefill(self._params, mb)
+        self._full_bias = full_bias
+        S1 = self.S + 1
+
+        def alloc(x):
+            # chunk arrays carry rows on the slot axis: (L, C, ...) -> (L, S+1, ...)
+            shape = list(x.shape)
+            ax = 1 if x.ndim >= 3 else 0
+            shape[ax] = S1
+            return jnp.zeros(shape, x.dtype)
+
+        state = {n: alloc(cache[n]) for n in ("k", "v", "ck", "cv")}
+        state["enc_mask"] = jnp.zeros((S1,) + enc_mask.shape[1:], enc_mask.dtype)
+        state["pos"] = jnp.zeros((S1,), jnp.int32)
+        state["cur"] = jnp.full((S1,), self._bos, jnp.int32)
+        state["active"] = jnp.zeros((S1,), bool)
+        slots = jnp.full((self.C,), self.S, jnp.int32)  # all-trash insert
+        state = self._insert(state, cache, enc_mask, slots)
+        state, toks = self._decode(self._params, state, self._full_bias)
+        jax.block_until_ready(toks)
+        self._state = state
+
+    # -- client surface ---------------------------------------------------------
+
+    def submit(self, image_id, question: str, deadline_s: float = None):
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+        if self._id_dtype.kind in "if":
+            try:
+                coerced = self._id_dtype.type(image_id)
+                if float(coerced) == float(image_id):
+                    image_id = coerced
+            except (TypeError, ValueError):
+                pass
+        if image_id not in self._known_ids:
+            raise KeyError(f"unknown image_id {image_id!r}")
+        if deadline_s is None and self.default_deadline_s > 0:
+            deadline_s = self.default_deadline_s
+        deadline = time.monotonic() + deadline_s if deadline_s else None
+        req = _Request(image_id, question, deadline)
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+            try:
+                self._queue.put_nowait(req)
+            except queue.Full:
+                raise RuntimeError(
+                    f"serving queue full ({self._queue.maxsize} pending)"
+                ) from None
+        return req.future
+
+    def answer(self, image_id, question: str, timeout=None, deadline_s=None):
+        return self.submit(image_id, question, deadline_s).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lats = sorted(self._latencies_ms)
+            pct = (
+                lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]
+                if lats else None
+            )
+            occ = (
+                self._slot_steps / self._total_steps
+                if self._total_steps else 0.0
+            )
+            return {
+                "served": self._served,
+                "failed": self._failed,
+                "expired": self._expired,
+                "decode_dispatches": self._dispatches,
+                "slot_occupancy": round(occ, 3),
+                "queue_depth": self._queue.qsize(),
+                "p50_ms": pct(0.50),
+                "p95_ms": pct(0.95),
+            }
+
+    def stop(self):
+        with self._lock:
+            if self._stopped:
+                return
+            self._stopped = True
+            self._queue.put(None)
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- worker -------------------------------------------------------------------
+
+    def _record(self, req, status, **extra):
+        if self._access_log is None:
+            return
+        image_id = req.image_id
+        rec = {
+            "ts": round(time.time(), 3),
+            "image_id": image_id.item() if hasattr(image_id, "item") else image_id,
+            "question_chars": len(req.question),
+            "status": status,
+            "latency_ms": round((time.monotonic() - req.t_submit) * 1e3, 3),
+            **extra,
+        }
+        try:
+            self._access_log(rec)
+        except Exception as e:
+            log.warning(f"(!) access-log sink raised {e!r} — disabled")
+            self._access_log = None
+
+    def _drain_queue(self, block: bool) -> bool:
+        """Move queued requests to the waiting list; returns False on the
+        stop sentinel."""
+        try:
+            item = self._queue.get(timeout=0.05) if block else self._queue.get_nowait()
+        except queue.Empty:
+            return True
+        while True:
+            if item is None:
+                return False
+            if item.future.set_running_or_notify_cancel():
+                self._waiting.append(item)
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return True
+
+    def _admit(self):
+        """Prefill + insert waiting requests into free slots, chunk by chunk."""
+        now = time.monotonic()
+        live = []
+        n_expired = 0
+        for r in self._waiting:
+            if r.deadline and r.deadline < now:
+                self._record(r, "expired")
+                r.future.set_exception(
+                    TimeoutError("deadline exceeded while queued")
+                )
+                n_expired += 1
+            else:
+                live.append(r)
+        if n_expired:
+            with self._stats_lock:
+                self._expired += n_expired
+        self._waiting = live
+        while self._waiting and self._free:
+            take = min(len(self._waiting), len(self._free), self.C)
+            reqs, self._waiting = self._waiting[:take], self._waiting[take:]
+            try:
+                mb = self._chunk_batch(reqs)
+            except Exception as e:
+                log.warning(f"featurization of {len(reqs)} requests failed: {e!r}")
+                for r in reqs:
+                    self._record(r, "error", error=repr(e))
+                    r.future.set_exception(e)
+                with self._stats_lock:
+                    self._failed += len(reqs)
+                continue
+            cache, _, enc_mask = self._prefill(self._params, mb)
+            slots = [self._free.pop() for _ in range(take)]
+            slot_ids = np.full((self.C,), self.S, np.int32)  # pad -> trash
+            slot_ids[:take] = slots
+            self._state = self._insert(
+                self._state, cache, enc_mask, jnp.asarray(slot_ids)
+            )
+            for s, r in zip(slots, reqs):
+                self._slot_req[s] = r
+                self._slot_toks[s] = []
+
+    def _finish_slot(self, s: int):
+        req = self._slot_req[s]
+        toks = self._slot_toks[s]
+        # reconstruct the greedy_decode row shape: [bos] + emissions + pad
+        row = [self._bos] + toks
+        row += [self._pad] * (self.max_answer_length - len(row))
+        try:
+            answer = self.executor._decode_rows([row])[0]
+        except Exception as e:
+            self._record(req, "error", error=repr(e))
+            req.future.set_exception(e)
+            with self._stats_lock:
+                self._failed += 1
+        else:
+            self._record(req, "ok", answer_chars=len(answer),
+                         decode_tokens=len(toks))
+            req.future.set_result(answer)
+            with self._stats_lock:
+                self._served += 1
+                self._latencies_ms.append(
+                    (time.monotonic() - req.t_submit) * 1e3
+                )
+                del self._latencies_ms[:-10000]
+        self._slot_req[s] = None
+        self._slot_toks[s] = []
+        self._free.append(s)
+
+    def _run(self):
+        running = True
+        while True:
+            occupied = [s for s in range(self.S) if self._slot_req[s] is not None]
+            if not running and not occupied and not self._waiting:
+                return
+            # block only when fully idle; otherwise just drain what's there
+            if running:
+                running = self._drain_queue(block=not occupied and not self._waiting)
+            self._admit()
+            occupied = [s for s in range(self.S) if self._slot_req[s] is not None]
+            if not occupied:
+                continue
+            # dispatch a horizon of decode steps (async), then materialize;
+            # the next iteration's featurize/prefill overlaps device decode
+            # via JAX async dispatch
+            self._state, toks = self._decode(
+                self._params, self._state, self._full_bias
+            )
+            with self._stats_lock:
+                self._dispatches += 1
+                self._slot_steps += len(occupied) * self.horizon
+                self._total_steps += self.S * self.horizon
+            toks_np = np.asarray(toks)  # blocks until the horizon completes
+            for step in range(self.horizon):
+                for s in occupied:
+                    req = self._slot_req[s]
+                    if req is None:
+                        continue
+                    t = int(toks_np[step, s])
+                    self._slot_toks[s].append(t)
+                    if t == self._eos or len(self._slot_toks[s]) >= (
+                        self.max_answer_length - 1
+                    ):
+                        self._finish_slot(s)

@@ -1,0 +1,131 @@
+"""Continuous-batching slot engine: answers identical to ``executor.infer``,
+mid-stream joins, slot refill, deadline shedding, unsupported-family guard.
+
+The identity gate runs in f32 (the per-row-position step's different
+reduction order can flip bf16 near-tie argmaxes — repo-wide caveat).
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from phoneme_vqa_tpu import registry_setup  # noqa: F401
+from phoneme_vqa_tpu.config import get_config
+from phoneme_vqa_tpu.data.adapters import (
+    textlayout_obj_adapt,
+    textlayout_ocr_adapt,
+)
+from phoneme_vqa_tpu.serving import ContinuousEngine
+from phoneme_vqa_tpu.utils.registry import EXECUTORS
+
+from .fixtures import (
+    make_latr_fixture,
+    make_sal_fixture,
+    tiny_latr_yaml,
+    tiny_sal_yaml,
+)
+
+
+@pytest.fixture(scope="module")
+def latr(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cont_latr")
+    paths = make_latr_fixture(tmp)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp / "ck"), NUM_EPOCHS=1, SAVE=False, max_eval_length=10,
+        DTYPE="float32",
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    qa = pd.read_csv(paths["val"])
+    return ex, ocr_df, config, qa
+
+
+def test_answers_identical_to_infer(latr):
+    ex, ocr_df, config, qa = latr
+    want = ex.infer(ex.val_data, 4, 10)
+    with ContinuousEngine(ex, ocr_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=300) for f in futs]
+        # repeat with slots warm (refill path, not fresh-engine path)
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got2 = [f.result(timeout=300) for f in futs]
+    assert got == want
+    assert got2 == want
+    s = eng.stats()
+    assert s["served"] == 2 * len(qa) and s["failed"] == 0
+    assert s["decode_dispatches"] >= 2  # 6 reqs through 3 slots = waves
+    assert s["p95_ms"] is not None
+
+
+def test_mid_stream_join(latr):
+    """A request submitted while earlier ones are mid-decode must join at a
+    step boundary and still answer identically — the whole point of
+    continuous batching."""
+    ex, ocr_df, config, qa = latr
+    rows = list(qa.itertuples())
+    want = ex.infer(ex.val_data, 4, 10)
+    with ContinuousEngine(ex, ocr_df, num_slots=4, prefill_chunk=2,
+                          horizon=2, max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in rows[:2]]
+        time.sleep(0.05)  # let decode start
+        futs += [eng.submit(r.image_id, r.question) for r in rows[2:]]
+        got = [f.result(timeout=300) for f in futs]
+    assert got == want
+
+
+@pytest.mark.slow
+def test_sal_family_continuous(tmp_path):
+    """SaL: 2D-bias encoder + object stream through the slot decode."""
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10, DTYPE="float32",
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    obj_df = textlayout_obj_adapt(config.obj_path)
+    qa = pd.read_csv(paths["val"])
+    want = ex.infer(ex.val_data, 4, 10)
+    with ContinuousEngine(ex, ocr_df, obj_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=600) for f in futs]
+    assert got == want
+
+
+def test_deadline_shedding_and_unknown_id(latr):
+    ex, ocr_df, config, qa = latr
+    row = next(qa.itertuples())
+    with ContinuousEngine(ex, ocr_df, num_slots=2, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        f = eng.submit(row.image_id, row.question, deadline_s=-1.0)
+        with pytest.raises(TimeoutError):
+            f.result(timeout=60)
+        assert eng.stats()["expired"] == 1
+        with pytest.raises(KeyError, match="unknown image_id"):
+            eng.submit(99999.0, "q")
+        # still serves after shedding
+        assert isinstance(eng.answer(row.image_id, row.question, timeout=120), str)
+
+
+def test_unsupported_family_fails_fast(tmp_path):
+    """Custom-decoder families must be rejected with a clear error (serve.py
+    falls back to the gathered-batch engine)."""
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, max_a_length=16,
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    with pytest.raises(ValueError, match="custom decoder cache"):
+        ContinuousEngine(ex, ocr_df, num_slots=2, warmup=False)
