@@ -249,8 +249,16 @@ class ServingEngine:
                     ds, bucket, self.max_answer_length,
                     return_scores=self.confidence,
                 )
+        # two-stage pipeline: the DISPATCHER gathers/featurizes/dispatches
+        # (JAX async dispatch returns immediately) and the RESOLVER
+        # materializes answers — so featurize + H2D + prefill of batch i+1
+        # overlap the device decode of batch i instead of serializing behind
+        # it. The bounded handoff queue (depth 2) is the backpressure.
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._resolver = threading.Thread(target=self._resolve_loop, daemon=True)
+        self._resolver.start()
 
     def _dummy_request(self) -> _Request:
         """A featurizable placeholder request (warmup / AOT packing)."""
@@ -473,13 +481,14 @@ class ServingEngine:
         return {"reloaded": loadtype, "ms": round(ms, 1)}
 
     def stop(self):
-        """Drain outstanding requests, then stop the worker."""
+        """Drain outstanding requests, then stop both pipeline threads."""
         with self._lock:
             if self._stopped:
                 return
             self._stopped = True
             self._queue.put(None)
         self._worker.join()
+        self._resolver.join()
 
     def __enter__(self):
         return self
@@ -551,9 +560,14 @@ class ServingEngine:
         return self.executor._make_dataset(qa, self.ocr_df)
 
     def _run(self):
+        """Dispatcher: gather -> featurize -> DISPATCH (async) -> hand off.
+        Materialization happens on the resolver thread, so this loop is back
+        to assembling the next batch while the device decodes the current
+        one."""
         while True:
             reqs = self._collect()
             if not reqs:
+                self._inflight.put(None)  # drain signal for the resolver
                 return
             # claim the futures: a future cancelled while queued is dropped
             # here, and a RUNNING future can no longer be cancelled — so the
@@ -576,17 +590,16 @@ class ServingEngine:
             if not reqs:
                 continue
             # multi-adapter: decode per adapter group (FIFO order preserved
-            # within each group; one merge per switch, not per request)
+            # within each group; one merge per switch, not per request).
+            # In-flight batches keep the params their dispatch captured, so
+            # the swap cannot corrupt them.
             groups = [reqs]
             if self._adapters:
                 by_adapter: dict = {}
                 for r in reqs:
                     by_adapter.setdefault(r.adapter, []).append(r)
                 groups = list(by_adapter.values())
-            answers_by_req: dict = {}
-            bucket_by_req: dict = {}
-            n_ok_groups = 0
-            buckets_used: list = []
+            work = []
             for group in groups:
                 try:
                     self._activate(group[0].adapter)
@@ -601,20 +614,54 @@ class ServingEngine:
                     bucket = next(
                         b for b in self.buckets if b >= len(group)
                     )
-                    answers = self.executor.infer(
-                        ds, bucket, self.max_answer_length,
-                        return_scores=self.confidence,
-                    )
-                    if self.confidence:
-                        answers = [
-                            {"answer": a, "confidence": round(math.exp(s), 4)}
-                            for a, s in zip(*answers)
-                        ]
-                except Exception as e:  # resolve this group with the error
-                    log.warning(f"serving batch of {len(group)} failed: {e!r}")
+                    infer_async = getattr(self.executor, "infer_async", None)
+                    if infer_async is not None:
+                        resolve = infer_async(
+                            ds, bucket, self.max_answer_length,
+                            return_scores=self.confidence,
+                        )
+                    else:  # stub executors (tests) implement only infer:
+                        # degrade to dispatch-time materialization
+                        answers = self.executor.infer(
+                            ds, bucket, self.max_answer_length,
+                            return_scores=self.confidence,
+                        )
+                        resolve = lambda answers=answers: answers
+                    work.append((group, bucket, resolve, None))
+                except Exception as e:  # resolver reports it per request
+                    work.append((group, None, None, e))
+            # bounded handoff (depth 2): blocks when the resolver is behind
+            self._inflight.put((reqs, work))
+
+    def _resolve_loop(self):
+        """Resolver: materialize dispatched answers and complete futures."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            reqs, work = item
+            answers_by_req: dict = {}
+            bucket_by_req: dict = {}
+            n_ok_groups = 0
+            buckets_used: list = []
+            for group, bucket, resolve, exc in work:
+                answers = None
+                if exc is None:
+                    try:
+                        answers = resolve()
+                        if self.confidence:
+                            answers = [
+                                {"answer": a,
+                                 "confidence": round(math.exp(s), 4)}
+                                for a, s in zip(*answers)
+                            ]
+                    except Exception as e:
+                        exc = e
+                if exc is not None:  # resolve this group with the error
+                    log.warning(f"serving batch of {len(group)} failed: {exc!r}")
                     for r in group:
-                        self._record(r, "error", error=repr(e))
-                        r.future.set_exception(e)
+                        self._record(r, "error", error=repr(exc))
+                        r.future.set_exception(exc)
                     with self._stats_lock:
                         self._failed += len(group)
                         self._batches += 1

@@ -954,6 +954,17 @@ class BaseExecutor:
         token log-probability of answer i (``exp`` of it = the confidence
         number serving reports); it compiles a separate scoring executable,
         cached per (max_length, True)."""
+        return self.infer_async(dataset, batch_size, max_length, return_scores)()
+
+    def infer_async(
+        self, dataset, batch_size: int, max_length: int,
+        return_scores: bool = False,
+    ):
+        """Dispatch the decode WITHOUT materializing: returns a zero-arg
+        ``resolve()`` producing :meth:`infer`'s result. JAX dispatch is
+        async, so the device starts immediately and the caller can overlap
+        host work (featurize/H2D of the NEXT batch — the serving engine's
+        pipelining) with this decode, materializing later."""
         from ..data.loader import batch_iterator
 
         generate = self._get_generate_fn(max_length, with_scores=return_scores)
@@ -968,17 +979,23 @@ class BaseExecutor:
         for batch, n_valid in batches:
             out = generate(params, self._shard(self._model_batch(batch)))
             pending.append((out, n_valid))
-        out_rows: List = []
-        out_scores: List = []
-        for out, n_valid in pending:
-            ids = out[0] if return_scores else out
-            out_rows.extend(np.asarray(ids)[:n_valid].tolist())
+
+        def resolve():
+            out_rows: List = []
+            out_scores: List = []
+            for out, n_valid in pending:
+                ids = out[0] if return_scores else out
+                out_rows.extend(np.asarray(ids)[:n_valid].tolist())
+                if return_scores:
+                    out_scores.extend(
+                        np.asarray(out[1], np.float64)[:n_valid].tolist()
+                    )
+            answers = self._decode_rows(out_rows)
             if return_scores:
-                out_scores.extend(np.asarray(out[1], np.float64)[:n_valid].tolist())
-        answers = self._decode_rows(out_rows)
-        if return_scores:
-            return answers, out_scores
-        return answers
+                return answers, out_scores
+            return answers
+
+        return resolve
 
     def _decode_rows(self, rows) -> List[str]:
         """Cut [start, ..., eos] -> tokens between, then detokenize

@@ -13,10 +13,7 @@ import pytest
 
 from phoneme_vqa_tpu import registry_setup  # noqa: F401
 from phoneme_vqa_tpu.config import get_config
-from phoneme_vqa_tpu.data.adapters import (
-    textlayout_obj_adapt,
-    textlayout_ocr_adapt,
-)
+from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
 from phoneme_vqa_tpu.serving import ContinuousEngine
 from phoneme_vqa_tpu.utils.registry import EXECUTORS
 
@@ -86,11 +83,14 @@ def test_sal_family_continuous(tmp_path):
         max_eval_length=10, DTYPE="float32",
     )
     config = get_config(yaml_path)
-    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
-    ocr_df = textlayout_ocr_adapt(config.ocr_path)
-    obj_df = textlayout_obj_adapt(config.obj_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df, obj_df = ex.serve_frames
+    assert obj_df is not None
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval.state = ex_eval.state.replace(params=ex.state.params)
+    ex_eval._place_state()
     qa = pd.read_csv(paths["val"])
-    want = ex.infer(ex.val_data, 4, 10)
+    want = ex_eval.infer(ex_eval.val_data, 4, 10)
     with ContinuousEngine(ex, ocr_df, obj_df, num_slots=3, prefill_chunk=2,
                           horizon=4, max_answer_length=10) as eng:
         futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
