@@ -208,20 +208,25 @@ def main():
                     jax.jit(step).lower(params, opt_state, batch).compile()
                 )
                 txt = compiled.as_text()
-                # param-sized f32->bf16 converts inside while bodies: count
-                # converts of the two biggest weight shapes (embedding,
-                # ffn) per computation region
+                # param-sized f32->bf16 converts inside while/scan BODY
+                # computations: 0 in-body = the cast is hoisted (each big
+                # weight converted once per step, not once per microbatch)
                 pat = re.compile(
-                    r"bf16\[(36096,768|768,2048|2048,768)\][^=]*= convert"
+                    r"bf16\[(?:36096,768|768,2048|2048,768)[^\]]*\]"
+                    r"[^=\n]*=[^\n]*convert"
                 )
-                bodies = txt.split("\n\n")
-                in_body = sum(
-                    len(pat.findall(b))
-                    for b in bodies
-                    if "while" in b.splitlines()[0].lower()
-                    or "body" in b.splitlines()[0].lower()
-                )
-                total = len(pat.findall(txt))
+                total = 0
+                in_body = 0
+                region_is_body = False
+                for line in txt.splitlines():
+                    stripped = line.strip()
+                    if stripped.endswith("{") and "(" in stripped:
+                        head = stripped.split("(")[0].lower()
+                        region_is_body = "body" in head or "while" in head
+                    n = len(pat.findall(line))
+                    total += n
+                    if region_is_body:
+                        in_body += n
                 results[name]["hlo_big_converts_total"] = total
                 results[name]["hlo_big_converts_in_loop_bodies"] = in_body
                 log(f"{name}: {total} big f32->bf16 converts, {in_body} in loop bodies")
