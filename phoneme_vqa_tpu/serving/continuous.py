@@ -12,9 +12,13 @@ engine is the canonical TPU serving design instead:
   ``decode_step_k`` with K=1, the per-row-position primitive built for
   speculative verification (`models/t5.py: T5Decoder.step_k`).
 * **Prefill is decoupled from decode.** New requests are featurized and
-  encoded in fixed-size chunks by a separate compiled prefill executable and
-  scattered into free slots between decode dispatches — a request joins the
-  decode stream at the next step boundary instead of the next batch.
+  encoded in fixed-size chunks by a separate compiled prefill executable,
+  staged, and scattered into free slots by the next decode dispatch (the
+  scatter is FUSED into the decode program — with separate executables the
+  slot state alternates between two producers whose output layouts differ,
+  which measured as a 0.4-4 s executable re-specialization after every
+  admission) — a request joins the decode stream at the next step boundary
+  instead of the next batch.
 * **The decode program runs a fixed HORIZON of steps per dispatch** so the
   ~28 ms per-dispatch tax of this environment is amortized over many steps;
   the horizon bounds refill latency (horizon x step-time), not correctness.
@@ -135,11 +139,16 @@ class ContinuousEngine:
 
         self._params = executor._inference_params()
         self._build_compiled()
-        # host mirrors of slot occupancy: request + emitted tokens per slot
+        # host mirrors of slot occupancy: request + emitted tokens per slot.
+        # A slot is assigned at staging time but only LIVE once its prefilled
+        # chunk has been scattered by an advance call — tokens are read for
+        # live slots only.
         self._slot_req: List[Optional[_Request]] = [None] * self.S
         self._slot_toks: List[List[int]] = [[] for _ in range(self.S)]
+        self._live: List[bool] = [False] * self.S
         self._free = list(range(self.S))
         self._waiting: List[_Request] = []
+        self._staged: List[tuple] = []  # (chunk_cache, chunk_mask, slot_ids)
         if warmup:
             self._warmup()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -149,7 +158,6 @@ class ContinuousEngine:
 
     def _build_compiled(self):
         model = self.executor.model
-        S1 = self.S + 1  # + trash slot (absorbs padded prefill rows)
         maxl = self.max_answer_length
         eos, pad = self._eos, self._pad
 
@@ -160,9 +168,16 @@ class ContinuousEngine:
             )
         )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert(state, chunk_cache, chunk_mask, slots):
-            """Scatter a prefilled chunk into `slots` (trash id = S)."""
+        # ONE fused program per dispatch: (optionally) scatter a prefilled
+        # chunk into slots, then run `horizon` decode steps. Fusing the
+        # insert into the decode program matters beyond a dispatch saved:
+        # with separate insert/decode executables the state buffers
+        # alternate between two producers, whose output LAYOUTS may differ —
+        # measured here as a ~0.4-4 s executable re-specialization after
+        # EVERY admission (vs ~40 ms steady decode). One producer, one
+        # layout, zero steady-state recompiles.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def advance(params, state, full_bias, chunk_cache, chunk_mask, slots):
             st = dict(state)
             for n in ("k", "v", "ck", "cv"):
                 st[n] = st[n].at[:, slots].set(chunk_cache[n])
@@ -171,12 +186,7 @@ class ContinuousEngine:
             st["cur"] = st["cur"].at[slots].set(self._bos)
             active = st["active"].at[slots].set(True)
             st["active"] = active.at[self.S].set(False)  # trash never decodes
-            return st
 
-        self._insert = insert
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode(params, state, full_bias):
             def body(st, _):
                 cache = {n: st[n] for n in ("k", "v", "ck", "cv")}
                 logits, cache = model.apply(
@@ -199,14 +209,16 @@ class ContinuousEngine:
                 st2["active"] = active
                 return st2, tok
 
-            state, toks = jax.lax.scan(
-                body, state, None, length=self.horizon
-            )
-            return state, toks  # toks: (horizon, S+1)
+            st, toks = jax.lax.scan(body, st, None, length=self.horizon)
+            return st, toks  # toks: (horizon, S+1)
 
-        self._decode = decode
+        self._advance = advance
         self._full_bias = None  # set at warmup (constant per max_len)
         self._state = None
+        # a persistent dummy chunk (built at warmup) feeds advance on
+        # dispatches with nothing to insert (slots = all-trash)
+        self._dummy_chunk = None
+        self._trash_slots = jnp.full((self.C,), self.S, jnp.int32)
 
     def _dummy_request(self) -> _Request:
         return _Request(next(iter(self._known_ids)), "")
@@ -227,10 +239,11 @@ class ContinuousEngine:
         return self.executor._model_batch(batch)
 
     def _warmup(self):
-        """Compile prefill + insert + decode and allocate the slot state."""
+        """Compile prefill + advance and allocate the slot state."""
         mb = self._chunk_batch([self._dummy_request()])
         cache, full_bias, enc_mask = self._prefill(self._params, mb)
         self._full_bias = full_bias
+        self._dummy_chunk = (cache, enc_mask)  # persistent all-trash filler
         S1 = self.S + 1
 
         def alloc(x):
@@ -245,9 +258,10 @@ class ContinuousEngine:
         state["pos"] = jnp.zeros((S1,), jnp.int32)
         state["cur"] = jnp.full((S1,), self._bos, jnp.int32)
         state["active"] = jnp.zeros((S1,), bool)
-        slots = jnp.full((self.C,), self.S, jnp.int32)  # all-trash insert
-        state = self._insert(state, cache, enc_mask, slots)
-        state, toks = self._decode(self._params, state, self._full_bias)
+        state, toks = self._advance(
+            self._params, state, self._full_bias, cache, enc_mask,
+            self._trash_slots,
+        )
         jax.block_until_ready(toks)
         self._state = state
 
@@ -375,7 +389,7 @@ class ContinuousEngine:
             with self._stats_lock:
                 self._expired += n_expired
         self._waiting = live
-        while self._waiting and self._free:
+        while self._waiting and self._free and len(self._staged) < 2:
             take = min(len(self._waiting), len(self._free), self.C)
             reqs, self._waiting = self._waiting[:take], self._waiting[take:]
             try:
@@ -388,18 +402,20 @@ class ContinuousEngine:
                 with self._stats_lock:
                     self._failed += len(reqs)
                 continue
+            # prefill dispatches async; the chunk is STAGED and scattered by
+            # the next advance call (the fused program), so slot state only
+            # ever has one producer
             cache, _, enc_mask = self._prefill(self._params, mb)
             slots = [self._free.pop() for _ in range(take)]
             slot_ids = np.full((self.C,), self.S, np.int32)  # pad -> trash
             slot_ids[:take] = slots
-            self._state = self._insert(
-                self._state, cache, enc_mask, jnp.asarray(slot_ids)
-            )
+            self._staged.append((cache, enc_mask, jnp.asarray(slot_ids)))
             for s, r in zip(slots, reqs):
                 self._slot_req[s] = r
                 self._slot_toks[s] = []
 
     def _finish_slot(self, s: int):
+        self._live[s] = False
         req = self._slot_req[s]
         toks = self._slot_toks[s]
         # reconstruct the greedy_decode row shape: [bos] + emissions + pad
@@ -429,31 +445,43 @@ class ContinuousEngine:
     def _run(self):
         running = True
         while True:
-            occupied = [s for s in range(self.S) if self._slot_req[s] is not None]
-            if not running and not occupied and not self._waiting:
+            busy = any(self._slot_req) or self._waiting or self._staged
+            if not running and not busy:
                 return
             # block only when fully idle; otherwise just drain what's there
             if running:
-                running = self._drain_queue(block=not occupied and not self._waiting)
+                running = self._drain_queue(block=not busy)
             self._admit()
-            occupied = [s for s in range(self.S) if self._slot_req[s] is not None]
-            if not occupied:
+            live = [s for s in range(self.S)
+                    if self._live[s] and self._slot_req[s] is not None]
+            if not live and not self._staged:
                 continue
-            # dispatch a horizon of decode steps (async), then materialize;
-            # the next iteration's featurize/prefill overlaps device decode
-            # via JAX async dispatch
-            self._state, toks = self._decode(
-                self._params, self._state, self._full_bias
+            # one fused dispatch: scatter at most one staged chunk, then run
+            # a horizon of decode steps; the next iteration's
+            # featurize/prefill overlaps this decode via JAX async dispatch
+            if self._staged:
+                chunk_cache, chunk_mask, slot_ids = self._staged.pop(0)
+                for s in np.asarray(slot_ids):
+                    if s < self.S:
+                        self._live[int(s)] = True
+            else:
+                chunk_cache, chunk_mask = self._dummy_chunk
+                slot_ids = self._trash_slots
+            self._state, toks = self._advance(
+                self._params, self._state, self._full_bias,
+                chunk_cache, chunk_mask, slot_ids,
             )
+            live = [s for s in range(self.S)
+                    if self._live[s] and self._slot_req[s] is not None]
             with self._stats_lock:
                 self._dispatches += 1
-                self._slot_steps += len(occupied) * self.horizon
+                self._slot_steps += len(live) * self.horizon
                 self._total_steps += self.S * self.horizon
             toks_np = np.asarray(toks)  # blocks until the horizon completes
             for step in range(self.horizon):
-                for s in occupied:
+                for s in live:
                     req = self._slot_req[s]
-                    if req is None:
+                    if req is None or not self._live[s]:
                         continue
                     t = int(toks_np[step, s])
                     self._slot_toks[s].append(t)

@@ -111,38 +111,51 @@ def flood_capacity(eng, ids, n: int = 96) -> float:
 
 def open_loop(eng, ids, rate: float, duration: float, seed: int = 0):
     """Poisson arrivals at `rate` req/s for `duration` s; every request is
-    unique (cache-proof). Returns dict of measured stats."""
+    unique (cache-proof). Returns dict of measured stats. Latency
+    percentiles are measured CLIENT-SIDE per run via done-callbacks (the
+    engine's own stats() percentiles are cumulative across runs, so an
+    earlier flood would contaminate them)."""
     rng = random.Random(seed)
     futs, rejects = [], 0
+    lats: list = []
     lock = threading.Lock()
     t_end = time.monotonic() + duration
     i = 0
     while time.monotonic() < t_end:
         time.sleep(rng.expovariate(rate))
         try:
+            t_sub = time.monotonic()
             f = eng.submit(
                 ids[i % len(ids)], f"{QUESTIONS[i % len(QUESTIONS)]} #{i}"
             )
-            with lock:
-                futs.append((time.monotonic(), f))
+
+            def on_done(fut, t_sub=t_sub):
+                t = (time.monotonic() - t_sub) * 1e3
+                with lock:
+                    lats.append(t)
+
+            f.add_done_callback(on_done)
+            futs.append(f)
         except (RuntimeError, KeyError):
             rejects += 1
         i += 1
     done = 0
-    for _t_sub, f in futs:
+    for f in futs:
         try:
             f.result(timeout=600)
             done += 1
         except Exception:
             pass
-    # per-request latency percentiles come from the engine's own stats
-    # (tracked submit -> resolution), reported by the caller
+    lats.sort()
+    pct = lambda p: round(lats[min(len(lats) - 1, int(p * len(lats)))], 1) if lats else None
     return {
         "offered_rate": round(rate, 1),
         "submitted": len(futs),
         "rejected": rejects,
         "completed": done,
         "achieved_rate": round(done / duration, 1),
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
     }
 
 
@@ -221,11 +234,7 @@ def main():
                       seed=int(mult * 10))
         s = eng.stats()
         nb = lambda d: d.get("batches", d.get("decode_dispatches", 0))
-        r.update(
-            label=label,
-            p50_ms=s["p50_ms"], p95_ms=s["p95_ms"],
-            batches=nb(s) - nb(stats0),
-        )
+        r.update(label=label, batches=nb(s) - nb(stats0))
         runs.append(r)
         log(f"{label}: {r}")
 
@@ -241,8 +250,7 @@ def main():
     )
     r = open_loop(eng2, ids, rate=cap * 2.0, duration=min(args.duration, 15.0),
                   seed=99)
-    s = eng2.stats()
-    r.update(label="overload_bounded_queue", p50_ms=s["p50_ms"], p95_ms=s["p95_ms"])
+    r.update(label="overload_bounded_queue")
     runs.append(r)
     log(f"overload: {r}")
     eng2.stop()
