@@ -262,7 +262,18 @@ class ContinuousEngine:
             self._params, state, self._full_bias, cache, enc_mask,
             self._trash_slots,
         )
-        jax.block_until_ready(toks)
+        np.asarray(toks)  # host-materialize: block_until_ready is a no-op
+        # on the remote backend (CLAUDE.md)
+        # Call advance a SECOND time on its own donated output: steady-state
+        # calls consume advance-produced state whose layout differs from the
+        # fresh alloc above, and the backend re-specializes the executable on
+        # first sight of it — measured 46 s through the tunnel. Pay that at
+        # warmup, not on the first real request.
+        state, toks = self._advance(
+            self._params, state, self._full_bias, cache, enc_mask,
+            self._trash_slots,
+        )
+        np.asarray(toks)
         self._state = state
 
     # -- client surface ---------------------------------------------------------
