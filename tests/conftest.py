@@ -25,6 +25,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the test tier: programs are identical
+# across runs (fixed tiny shapes), so repeat runs — the development inner
+# loop — skip most XLA compiles. First/cold run is unchanged. Opt out with
+# TEST_COMPILE_CACHE=0 (e.g. to measure cold-compile wall time).
+if os.environ.get("TEST_COMPILE_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(REPO_ROOT, ".jax_cache_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 REFERENCE_ROOT = "/root/reference"
 
 

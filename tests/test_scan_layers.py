@@ -102,7 +102,10 @@ def test_decode_step_parity(pair):
     _allclose(outs[0], outs[1])
 
 
-@pytest.mark.parametrize("remat", [False, True])
+@pytest.mark.parametrize(
+    "remat",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_grad_parity(pair, remat):
     params, embeds, enc_mask, dec_ids = pair
     scanned = stack_block_params(params)

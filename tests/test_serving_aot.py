@@ -23,6 +23,21 @@ from phoneme_vqa_tpu.utils.registry import EXECUTORS
 from .fixtures import make_latr_fixture, tiny_latr_yaml
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_compile_cache():
+    """These tests serialize/deserialize executables themselves; the test
+    tier's persistent compilation cache must not interpose — XLA:CPU
+    executables loaded back from the cache carry compile-machine feature
+    PREFERENCES (+prefer-no-scatter/gather) the host feature probe lacks,
+    and executing them fails (Buffer Definition Event ... not found)."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture(scope="module")
 def packed(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("aot")

@@ -204,9 +204,12 @@ def test_dropout_active_in_training_mode():
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """REMAT (gradient checkpointing) must not change loss, grads, or decode
-    — it only trades recompute for activation memory."""
+    — it only trades recompute for activation memory. Slow tier: pure
+    redundancy parity (38 s of compile); the remat flag's plumbing is still
+    exercised fast by test_scan_layers.test_grad_parity[True]."""
     from phoneme_vqa_tpu.models.generate import make_generate_fn
 
     cfg_r = TINY_T5.replace(remat=True)
