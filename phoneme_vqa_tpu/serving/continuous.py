@@ -124,6 +124,9 @@ class ContinuousEngine:
         self._stopped = False
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        self._reload_lock = threading.Lock()  # serialize /reload + watcher
+        self._reload_req = None  # (event, err_list) set under _reload_lock
+        self._reloads = 0
         self._served = 0
         self._failed = 0
         self._expired = 0
@@ -325,11 +328,67 @@ class ContinuousEngine:
                 "failed": self._failed,
                 "expired": self._expired,
                 "decode_dispatches": self._dispatches,
+                "reloads": self._reloads,
                 "slot_occupancy": round(occ, 3),
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
             }
+
+    def reload(self, loadtype: str = "best") -> dict:
+        """Hot-swap the serving weights with NO downtime and ANSWER-ATOMIC
+        semantics. The slow checkpoint restore runs on this (caller) thread
+        while the worker keeps serving on the old weights — same as the
+        gathered engine's reload. Then a short drain barrier on the worker
+        pauses admission, lets live slots finish (bounded by
+        max_answer_length steps), and swaps: a slot's prefill and decode
+        always use ONE param tree, never a mix (in-flight KV caches were
+        computed under the old weights, so swapping mid-slot would hand the
+        new decoder another model's cache). Requests arriving during the
+        barrier queue up and decode under the new weights."""
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+        t0 = time.monotonic()
+        with self._reload_lock:
+            # restore on THIS thread: old weights keep serving meanwhile
+            self.executor._load_trained_checkpoint(loadtype)
+            ev = threading.Event()
+            err: list = []
+            self._reload_req = (ev, err)
+            ev.wait()
+        if err:
+            raise err[0]
+        with self._stats_lock:
+            self._reloads += 1
+        ms = (time.monotonic() - t0) * 1e3
+        log.info(f"## hot-reloaded {loadtype}_ckp in {ms:.0f} ms (continuous)")
+        return {"reloaded": loadtype, "ms": round(ms, 1)}
+
+    def _finish_reload(self):
+        """Runs on the worker thread at the drain barrier (no live slots, no
+        staged chunks): swap params, recompute the param-derived constants
+        (full_bias, dummy chunk), and pay any executable re-specialization
+        for the new param buffers with one all-trash advance before traffic
+        resumes."""
+        ev, err = self._reload_req
+        try:
+            self._params = self.executor._inference_params()
+            mb = self._chunk_batch([self._dummy_request()])
+            cache, full_bias, enc_mask = self._prefill(self._params, mb)
+            self._full_bias = full_bias
+            self._dummy_chunk = (cache, enc_mask)
+            state, toks = self._advance(
+                self._params, self._state, self._full_bias, cache, enc_mask,
+                self._trash_slots,
+            )
+            np.asarray(toks)
+            self._state = state
+        except Exception as e:  # pragma: no cover - surfaced to the caller
+            err.append(e)
+        finally:
+            self._reload_req = None
+            ev.set()
 
     def stop(self):
         with self._lock:
@@ -458,11 +517,22 @@ class ContinuousEngine:
         while True:
             busy = any(self._slot_req) or self._waiting or self._staged
             if not running and not busy:
+                if self._reload_req is not None:  # fail a reload caught by stop
+                    ev, err = self._reload_req
+                    err.append(RuntimeError("engine stopped during reload"))
+                    self._reload_req = None
+                    ev.set()
                 return
             # block only when fully idle; otherwise just drain what's there
             if running:
                 running = self._drain_queue(block=not busy)
-            self._admit()
+            if self._reload_req is None:
+                self._admit()
+            elif not any(self._slot_req) and not self._staged:
+                # drain barrier reached: no slot decodes under mixed weights
+                self._finish_reload()
+                self._admit()
+            # else: admission paused; live slots keep draining below
             live = [s for s in range(self.S)
                     if self._live[s] and self._slot_req[s] is not None]
             if not live and not self._staged:

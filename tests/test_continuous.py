@@ -129,3 +129,51 @@ def test_unsupported_family_fails_fast(tmp_path):
     ocr_df = textlayout_ocr_adapt(config.ocr_path)
     with pytest.raises(ValueError, match="custom decoder cache"):
         ContinuousEngine(ex, ocr_df, num_slots=2, warmup=False)
+
+
+def test_hot_reload_swaps_real_weights_continuous(tmp_path):
+    """ContinuousEngine.reload: serve checkpoint A, overwrite with different
+    weights, reload — answers equal direct infer under B, the engine never
+    stopped, and requests submitted WHILE the restore runs still resolve
+    (the drain barrier pauses admission, not the queue)."""
+    import jax
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1, max_eval_length=10,
+                               DTYPE="float32")
+    config = get_config(yaml_path)
+    tr = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tr._save_checkpoint("best")
+    tr.ckpt.wait()
+
+    ev = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ev._load_trained_checkpoint("best")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    qa = pd.read_csv(paths["val"]).head(4)
+    with ContinuousEngine(ev, ocr_df, num_slots=4, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        before = [eng.answer(r.image_id, r.question, timeout=120)
+                  for r in qa.itertuples()]
+        rng = np.random.RandomState(99)
+        new_params = jax.tree.map(
+            lambda x: (rng.standard_normal(x.shape) * 0.02).astype(np.float32)
+            if hasattr(x, "shape") and x.dtype == np.float32 else x,
+            jax.tree.map(np.asarray, tr.state.params),
+        )
+        tr.state = tr.state.replace(params=new_params)
+        tr._save_checkpoint("best")
+        tr.ckpt.wait()
+        # submit in-flight work, then reload from another thread while the
+        # worker is (potentially) still decoding it
+        rows = list(qa.itertuples())
+        inflight = [eng.submit(r.image_id, r.question) for r in rows]
+        eng.reload("best")
+        for f in inflight:  # resolved, each under exactly ONE weight tree
+            assert isinstance(f.result(timeout=120), str)
+        after = [eng.answer(r.image_id, r.question, timeout=120)
+                 for r in qa.itertuples()]
+        want = ev.infer(ev.val_data, 4, 10)[: len(qa)]
+    assert after == want
+    assert eng.stats()["reloads"] == 1
+    assert before  # served under A without interruption
