@@ -42,6 +42,7 @@ one-shot predict mode, `/root/reference/core/executor/base_executor.py:143`).
 from __future__ import annotations
 
 import functools
+import math
 import queue
 import threading
 import time
@@ -90,6 +91,8 @@ class ContinuousEngine:
         warmup: bool = True,
         default_deadline_s: float = 0.0,
         access_log=None,
+        confidence: bool = False,
+        cache_size: int = 0,
     ):
         model = executor.model
         if not getattr(type(model), "spec_decode_supported", False) or not hasattr(
@@ -109,6 +112,10 @@ class ContinuousEngine:
         self.max_answer_length = int(max_answer_length)
         self.default_deadline_s = float(default_deadline_s)
         self._access_log = access_log
+        self.confidence = bool(confidence)
+        self._cache_size = int(cache_size)
+        self._cache: dict = {}  # (image_id, question) -> resolved answer
+        self._cache_hits = 0
         self._id_dtype = ocr_df["image_id"].dtype
         self._known_ids = set(ocr_df["image_id"])
         if obj_df is not None:
@@ -148,6 +155,7 @@ class ContinuousEngine:
         # live slots only.
         self._slot_req: List[Optional[_Request]] = [None] * self.S
         self._slot_toks: List[List[int]] = [[] for _ in range(self.S)]
+        self._slot_lps: List[List[float]] = [[] for _ in range(self.S)]
         self._live: List[bool] = [False] * self.S
         self._free = list(range(self.S))
         self._waiting: List[_Request] = []
@@ -199,6 +207,14 @@ class ContinuousEngine:
                 )
                 tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 tok = jnp.where(st["active"], tok, pad)
+                # chosen-token log-prob (greedy_decode's chosen_logprob
+                # semantics: f32 log_softmax); always computed — one
+                # vocab-size reduction per step keeps ONE program whether or
+                # not the confidence response format is on
+                lp = jax.nn.log_softmax(
+                    logits[:, 0].astype(jnp.float32), axis=-1
+                )
+                tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
                 new_pos = st["pos"] + st["active"].astype(jnp.int32)
                 # a slot stops on EOS or when it has emitted maxl-1 tokens
                 # (executor.infer's greedy cap: emissions fill positions
@@ -210,10 +226,10 @@ class ContinuousEngine:
                 st2["cur"] = jnp.where(st["active"], tok, st["cur"])
                 st2["pos"] = new_pos
                 st2["active"] = active
-                return st2, tok
+                return st2, (tok, tok_lp)
 
-            st, toks = jax.lax.scan(body, st, None, length=self.horizon)
-            return st, toks  # toks: (horizon, S+1)
+            st, (toks, lps) = jax.lax.scan(body, st, None, length=self.horizon)
+            return st, toks, lps  # each: (horizon, S+1)
 
         self._advance = advance
         self._full_bias = None  # set at warmup (constant per max_len)
@@ -261,7 +277,7 @@ class ContinuousEngine:
         state["pos"] = jnp.zeros((S1,), jnp.int32)
         state["cur"] = jnp.full((S1,), self._bos, jnp.int32)
         state["active"] = jnp.zeros((S1,), bool)
-        state, toks = self._advance(
+        state, toks, _ = self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
             self._trash_slots,
         )
@@ -272,7 +288,7 @@ class ContinuousEngine:
         # fresh alloc above, and the backend re-specializes the executable on
         # first sight of it — measured 46 s through the tunnel. Pay that at
         # warmup, not on the first real request.
-        state, toks = self._advance(
+        state, toks, _ = self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
             self._trash_slots,
         )
@@ -294,6 +310,21 @@ class ContinuousEngine:
                 pass
         if image_id not in self._known_ids:
             raise KeyError(f"unknown image_id {image_id!r}")
+        if self._cache_size:
+            key = (image_id, question)
+            hit = object()  # sentinel: None is not a valid cached answer
+            answer = hit
+            with self._stats_lock:
+                if key in self._cache:
+                    answer = self._cache.pop(key)
+                    self._cache[key] = answer  # move-to-end: LRU
+                    self._cache_hits += 1
+            if answer is not hit:
+                self._record(_Request(image_id, question), "cached")
+                from concurrent.futures import Future
+                fut = Future()
+                fut.set_result(answer)
+                return fut
         if deadline_s is None and self.default_deadline_s > 0:
             deadline_s = self.default_deadline_s
         deadline = time.monotonic() + deadline_s if deadline_s else None
@@ -329,6 +360,7 @@ class ContinuousEngine:
                 "expired": self._expired,
                 "decode_dispatches": self._dispatches,
                 "reloads": self._reloads,
+                "cache_hits": self._cache_hits,
                 "slot_occupancy": round(occ, 3),
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
@@ -360,6 +392,7 @@ class ContinuousEngine:
         if err:
             raise err[0]
         with self._stats_lock:
+            self._cache.clear()  # entries are stale under the new weights
             self._reloads += 1
         ms = (time.monotonic() - t0) * 1e3
         log.info(f"## hot-reloaded {loadtype}_ckp in {ms:.0f} ms (continuous)")
@@ -378,7 +411,7 @@ class ContinuousEngine:
             cache, full_bias, enc_mask = self._prefill(self._params, mb)
             self._full_bias = full_bias
             self._dummy_chunk = (cache, enc_mask)
-            state, toks = self._advance(
+            state, toks, _ = self._advance(
                 self._params, self._state, self._full_bias, cache, enc_mask,
                 self._trash_slots,
             )
@@ -483,11 +516,13 @@ class ContinuousEngine:
             for s, r in zip(slots, reqs):
                 self._slot_req[s] = r
                 self._slot_toks[s] = []
+                self._slot_lps[s] = []
 
     def _finish_slot(self, s: int):
         self._live[s] = False
         req = self._slot_req[s]
         toks = self._slot_toks[s]
+        lps = self._slot_lps[s]
         # reconstruct the greedy_decode row shape: [bos] + emissions + pad
         row = [self._bos] + toks
         row += [self._pad] * (self.max_answer_length - len(row))
@@ -499,7 +534,18 @@ class ContinuousEngine:
             with self._stats_lock:
                 self._failed += 1
         else:
-            self._record(req, "ok", answer_chars=len(answer),
+            if self.confidence:
+                # greedy_decode's with_scores semantics: exp(mean chosen
+                # log-prob over emitted tokens, EOS included); same response
+                # shape as the gathered engine's confidence mode
+                score = sum(lps) / max(len(lps), 1)
+                answer = {
+                    "answer": answer,
+                    "confidence": round(math.exp(score), 4),
+                }
+            self._record(req, "ok",
+                         answer_chars=len(answer["answer"] if self.confidence
+                                          else answer),
                          decode_tokens=len(toks))
             req.future.set_result(answer)
             with self._stats_lock:
@@ -508,8 +554,13 @@ class ContinuousEngine:
                     (time.monotonic() - req.t_submit) * 1e3
                 )
                 del self._latencies_ms[:-10000]
+                if self._cache_size:
+                    self._cache[(req.image_id, req.question)] = answer
+                    while len(self._cache) > self._cache_size:
+                        self._cache.pop(next(iter(self._cache)))
         self._slot_req[s] = None
         self._slot_toks[s] = []
+        self._slot_lps[s] = []
         self._free.append(s)
 
     def _run(self):
@@ -548,7 +599,7 @@ class ContinuousEngine:
             else:
                 chunk_cache, chunk_mask = self._dummy_chunk
                 slot_ids = self._trash_slots
-            self._state, toks = self._advance(
+            self._state, toks, lps = self._advance(
                 self._params, self._state, self._full_bias,
                 chunk_cache, chunk_mask, slot_ids,
             )
@@ -559,6 +610,7 @@ class ContinuousEngine:
                 self._slot_steps += len(live) * self.horizon
                 self._total_steps += self.S * self.horizon
             toks_np = np.asarray(toks)  # blocks until the horizon completes
+            lps_np = np.asarray(lps)
             for step in range(self.horizon):
                 for s in live:
                     req = self._slot_req[s]
@@ -566,6 +618,7 @@ class ContinuousEngine:
                         continue
                     t = int(toks_np[step, s])
                     self._slot_toks[s].append(t)
+                    self._slot_lps[s].append(float(lps_np[step, s]))
                     if t == self._eos or len(self._slot_toks[s]) >= (
                         self.max_answer_length - 1
                     ):

@@ -155,8 +155,7 @@ def build_engine(args):
 
         unsupported = [
             flag for flag, on in (
-                ("--adapter", bool(adapters)), ("--cache-size", args.cache_size),
-                ("--confidence", args.confidence), ("--buckets", args.buckets),
+                ("--adapter", bool(adapters)), ("--buckets", args.buckets),
                 ("--aot", args.aot),
             ) if on
         ]
@@ -173,6 +172,8 @@ def build_engine(args):
             max_queue=args.max_queue,
             default_deadline_s=args.deadline_s,
             access_log=access_log,
+            confidence=args.confidence,
+            cache_size=args.cache_size,
         )
     loaded = []
     if args.aot:

@@ -177,3 +177,27 @@ def test_hot_reload_swaps_real_weights_continuous(tmp_path):
     assert after == want
     assert eng.stats()["reloads"] == 1
     assert before  # served under A without interruption
+
+
+def test_confidence_and_cache_continuous(latr):
+    """confidence=True resolves {"answer", "confidence"} dicts whose scores
+    equal executor-level return_scores (exp of mean emitted-token log-prob);
+    cache_size memoizes repeats and reload-clearing is covered by the
+    reload test."""
+    import math
+
+    ex, ocr_df, config, qa = latr
+    want_ans, want_scores = ex.infer(ex.val_data, 4, 10, return_scores=True)
+    rows = list(qa.head(4).itertuples())
+    with ContinuousEngine(ex, ocr_df, num_slots=4, prefill_chunk=2,
+                          horizon=4, max_answer_length=10,
+                          confidence=True, cache_size=8) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in rows]
+        got = [f.result(timeout=120) for f in futs]
+        again = eng.answer(rows[0].image_id, rows[0].question, timeout=120)
+    assert [g["answer"] for g in got] == want_ans[: len(rows)]
+    for g, s in zip(got, want_scores):
+        assert 0.0 < g["confidence"] <= 1.0
+        assert abs(g["confidence"] - math.exp(s)) < 1e-3
+    assert again == got[0]
+    assert eng.stats()["cache_hits"] == 1
