@@ -201,3 +201,62 @@ def test_confidence_and_cache_continuous(latr):
         assert abs(g["confidence"] - math.exp(s)) < 1e-3
     assert again == got[0]
     assert eng.stats()["cache_hits"] == 1
+
+
+def test_concurrent_stress_with_reload(tmp_path):
+    """Thread-safety hammer: concurrent submitters with mixed deadlines
+    while a reload lands mid-stream. Every request resolves exactly one way
+    (answer / expired / rejected), and the engine worker survives."""
+    import threading
+
+    paths = make_latr_fixture(tmp_path)
+    save = str(tmp_path / "ck")
+    yaml_path = tiny_latr_yaml(paths, save, NUM_EPOCHS=1, max_eval_length=10,
+                               DTYPE="float32")
+    config = get_config(yaml_path)
+    tr = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    tr._save_checkpoint("best")
+    tr.ckpt.wait()
+    ev = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ev._load_trained_checkpoint("best")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    ids = sorted(set(ocr_df["image_id"]))
+
+    outcomes = {"ok": 0, "expired": 0, "rejected": 0}
+    lock = threading.Lock()
+    with ContinuousEngine(ev, ocr_df, num_slots=4, prefill_chunk=2,
+                          horizon=4, max_answer_length=10,
+                          max_queue=64) as eng:
+        def client(seed):
+            import random
+            rng = random.Random(seed)
+            for i in range(30):
+                # a few unrealistically tight deadlines exercise shedding
+                dl = 0.001 if rng.random() < 0.1 else 30.0
+                try:
+                    fut = eng.submit(ids[i % len(ids)],
+                                     f"s{seed} q{i}", deadline_s=dl)
+                except RuntimeError:
+                    with lock:
+                        outcomes["rejected"] += 1
+                    continue
+                try:
+                    assert isinstance(fut.result(timeout=120), str)
+                    with lock:
+                        outcomes["ok"] += 1
+                except TimeoutError:
+                    with lock:
+                        outcomes["expired"] += 1
+
+        threads = [threading.Thread(target=client, args=(s,)) for s in range(3)]
+        for t in threads:
+            t.start()
+        eng.reload("best")  # lands while clients are mid-stream
+        for t in threads:
+            t.join()
+        stats = eng.stats()
+    assert sum(outcomes.values()) == 90, outcomes
+    assert outcomes["ok"] >= 70  # tight-deadline shed is ~10%
+    assert stats["served"] == outcomes["ok"]
+    assert stats["expired"] == outcomes["expired"]
+    assert stats["reloads"] == 1
