@@ -746,7 +746,7 @@ def test_serve_prime_exits_clean(tmp_path):
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    assert "cache primed" in (r.stdout + r.stderr)
+    assert "primed (serve executable compiled" in (r.stdout + r.stderr)
 
 
 def test_hot_reload_stub():
