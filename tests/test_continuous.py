@@ -260,3 +260,32 @@ def test_concurrent_stress_with_reload(tmp_path):
     assert stats["served"] == outcomes["ok"]
     assert stats["expired"] == outcomes["expired"]
     assert stats["reloads"] == 1
+
+
+def test_continuous_over_device_mesh_matches_single(latr, tmp_path):
+    """The continuous engine rides the executor's mesh unchanged: a DP x TP
+    (4 x 2) engine's slot-based decode answers identically to the
+    single-device engine (f32). The risky paths are the chunk scatter into
+    arbitrary slot ids across the data axis and the per-row-position cache
+    update under a sharded model axis."""
+    ex1, ocr_df, config, qa = latr
+    from .fixtures import tiny_latr_yaml as _yaml
+
+    paths = {k: getattr(config, p) for k, p in
+             [("ocr", "ocr_path"), ("img", "base_img_path"),
+              ("train", "qa_train_path"), ("val", "qa_val_path"),
+              ("predict", "qa_predict_path")]}
+    paths["root"] = str(tmp_path)
+    yaml_path = _yaml(paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+                      max_eval_length=10, DTYPE="float32",
+                      MESH={"data": 4, "model": 2})
+    mesh_config = get_config(yaml_path)
+    ex8 = EXECUTORS.get(mesh_config.EXECUTOR)(mesh_config, mode="eval")
+    ex8.state = ex8.state.replace(params=ex1.state.params)
+    ex8._place_state()
+    rows = list(qa.itertuples())
+    with ContinuousEngine(ex8, ocr_df, num_slots=4, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in rows]
+        got = [f.result(timeout=240) for f in futs]
+    assert got == ex1.infer(ex1.val_data, 4, 10)[: len(rows)]
