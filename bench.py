@@ -15,9 +15,28 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# Watchdog: when the TPU tunnel is down, jax.devices() hangs forever and
+# so would the driver's round-end bench run. Fail fast and loud instead
+# (stderr only — no fake metric line on stdout).
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "3600"))
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_S)
+    print(
+        f"bench.py watchdog: no result after {_WATCHDOG_S:.0f}s — "
+        "TPU backend unreachable? (tunnel outage)",
+        file=sys.stderr, flush=True,
+    )
+    os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 try:  # jnp only needed on the TPU path
     import jax.numpy as jnp
