@@ -69,7 +69,7 @@ def make_batch(b: int, seed: int = 0):
     }
 
 
-def bench_tpu() -> tuple[float, float]:
+def bench_tpu() -> tuple[float, float, float]:
     import jax
 
     # persistent compilation cache: the scanned generate takes ~6 min to
@@ -116,6 +116,21 @@ def bench_tpu() -> tuple[float, float]:
     # overheads a real TPU host does not have; they are excluded from the
     # metric and reported separately.) Outputs are host-materialized because
     # the experimental axon backend's block_until_ready does not block.
+    # BENCH_VIT_CACHE=1 measures the executors' VIT_CACHE knob: frozen-ViT
+    # encodings precomputed once (outside the timed loop) and fed as the
+    # batch input — the eval pipeline when every image is already cached.
+    # NOT the headline default: the headline times the same per-batch work
+    # as the reference (which runs its frozen ViT every batch).
+    if os.environ.get("BENCH_VIT_CACHE") == "1":
+        enc = jax.jit(
+            lambda p, pix: model.apply(
+                {"params": p}, pix, method="encode_image"
+            )
+        )(params, batch["pixel_values"])
+        del batch["pixel_values"]
+        batch["vit_encodings"] = np.asarray(enc)
+        log(f"VIT_CACHE: feeding encodings {batch['vit_encodings'].shape}")
+
     generate = make_generate_fn(model, MAX_EVAL_LEN)
     iters = 8
 

@@ -104,6 +104,23 @@ class FusionModel(nn.Module):
             img_feat = jax.lax.stop_gradient(img_feat)
         return self.visual_projector(img_feat)
 
+    def encode_image(self, pixel_values):
+        """Raw ViT encodings (pre-projector): the ``VIT_CACHE`` precompute
+        surface. The trainable projector stays inside the step; ``fuse``
+        consumes cached encodings through :meth:`_img_features`."""
+        return self.vit(pixel_values)
+
+    def _img_features(self, batch):
+        """Projected image features from either source: live pixels, or
+        precomputed frozen-ViT encodings (``VIT_CACHE`` — the executor swaps
+        the batch field; a batch input carries no gradient path to the ViT,
+        so this is the stop_gradient branch by construction)."""
+        if "vit_encodings" in batch:
+            return self.visual_projector(
+                jnp.asarray(batch["vit_encodings"], self.cfg.t5.dtype)
+            )
+        return self._vit_features(batch["pixel_values"])
+
     def fuse(self, batch: Dict[str, jnp.ndarray]):
         raise NotImplementedError
 
@@ -149,7 +166,7 @@ class LaTr(FusionModel):
 
     def fuse(self, batch):
         """[ViT patches | OCR embed + spatial | question] (LaTr.py:85-97)."""
-        img_feat = self._vit_features(batch["pixel_values"])
+        img_feat = self._img_features(batch)
         layout_feat = self.t5.embed(batch["tokenized_ocr"]) + self.spatial(
             batch["coordinates"]
         )

@@ -43,7 +43,7 @@ class PreSTU(FusionModel):
 
     def fuse(self, batch):
         """[ViT patches | question⊕OCR tokens] (PreSTU.py:48-56)."""
-        img_feat = self._vit_features(batch["pixel_values"])
+        img_feat = self._img_features(batch)
         lang_feat = self.t5.embed(batch["input_ids"])
         embeds = jnp.concatenate([img_feat, lang_feat], axis=1)
         mask = jnp.concatenate(

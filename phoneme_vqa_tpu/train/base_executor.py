@@ -133,6 +133,7 @@ class BaseExecutor:
         os.makedirs(folder, exist_ok=True)
 
         log.info("#----------- START TRAINING -----------------#")
+        self._maybe_attach_vit_cache(("train_data", "val_data"))
         t_start = time.perf_counter()
         start_epoch = int(self.state.epoch)
         # EARLY_STOP_PATIENCE: stop after N epochs without an Accuracy
@@ -197,6 +198,7 @@ class BaseExecutor:
     def evaluate(self):
         log.info("###Evaluate Mode###")
         self._load_trained_checkpoint(self.evaltype)
+        self._maybe_attach_vit_cache(("val_data",))
         scores = self._evaluate_metrics()
         log.info("\t#EVALUATION:\n")
         log.info(scores)
@@ -205,6 +207,7 @@ class BaseExecutor:
     def predict(self):
         log.info("###Predict Mode###")
         self._load_trained_checkpoint(self.predicttype)
+        self._maybe_attach_vit_cache(("predict_data",))
         log.info("## START PREDICTING ... ")
 
         if self.config.get_predict_score:
@@ -573,7 +576,14 @@ class BaseExecutor:
     BATCH_KEYS: tuple = ()
 
     def _model_batch(self, batch: dict) -> dict:
-        return {k: batch[k] for k in self.BATCH_KEYS}
+        keys = self.BATCH_KEYS
+        if "vit_encodings" in batch and "pixel_values" in keys:
+            # VIT_CACHE: the dataset supplies precomputed frozen-ViT
+            # encodings instead of pixels (see _maybe_attach_vit_cache)
+            keys = tuple(k for k in keys if k != "pixel_values") + (
+                "vit_encodings",
+            )
+        return {k: batch[k] for k in keys}
 
     def _defer_params_init(self) -> bool:
         """Whether construction should build the param tree ABSTRACTLY
@@ -1010,6 +1020,72 @@ class BaseExecutor:
         return self.tokenizer.batch_decode(cut, skip_special_tokens=True)
 
     # -- helpers ------------------------------------------------------------------
+
+    def _maybe_attach_vit_cache(self, dataset_attrs) -> None:
+        """``VIT_CACHE: true`` — precompute frozen-ViT encodings once per
+        unique image and feed them as a batch input, removing the ViT
+        forward from every subsequent step (data/vit_cache.py has the full
+        rationale). Exact by construction — the encoder has no dropout —
+        and valid only while the ViT weights cannot change under the cache:
+
+        * eval/predict: always (weights are static after the restore)
+        * train: only when the model config freezes the ViT structurally
+          (the LaTr family) AND no LoRA adapters target it
+
+        Idempotent per dataset; multi-host runs precompute on every host
+        (duplicate work, never wrong — each host gathers from its own table).
+        """
+        c = self.config
+        if not c.get("VIT_CACHE"):
+            return
+        if getattr(self.model_config, "vit", None) is None:
+            log.warning(
+                f"(!) VIT_CACHE ignored: {c.MODEL_CLASS} has no image encoder"
+            )
+            return
+        if self.mode == "train":
+            if not getattr(self.model_config, "freeze_vit", False):
+                log.warning(
+                    f"(!) VIT_CACHE ignored in train mode: {c.MODEL_CLASS} "
+                    "trains its ViT, the cache would go stale every step"
+                )
+                return
+            params_root = self.state.params
+            if isinstance(params_root, dict) and "vit" in params_root.get(
+                "lora", {}
+            ):
+                log.warning(
+                    "(!) VIT_CACHE ignored: LoRA adapters target the ViT"
+                )
+                return
+
+        from ..data.vit_cache import attach_vit_cache
+
+        self._ensure_params()
+        params = self._resolve_params(self.state.params)
+        encode = jax.jit(
+            lambda p, pix: self.model.apply(
+                {"params": p}, pix, method="encode_image"
+            )
+        )
+        batch_size = int(c.get("VIT_CACHE_BATCH", 0) or c.EVAL_BATCH_SIZE)
+        max_bytes = int(float(c.get("VIT_CACHE_MAX_GB", 8)) * 2**30)
+        for attr in dataset_attrs:
+            dataset = getattr(self, attr, None)
+            if dataset is None:
+                continue
+            t0 = time.perf_counter()
+            ok, reason = attach_vit_cache(
+                dataset,
+                lambda pix: encode(params, pix),
+                batch_size,
+                max_bytes,
+            )
+            log.info(
+                f"# VIT_CACHE {attr}: "
+                + (f"{reason} ({time.perf_counter() - t0:.1f}s)" if ok
+                   else f"skipped — {reason}")
+            )
 
     def _maybe_prefetch(self, iterator):
         """Background-thread prefetch when NUMWORKERS > 0 (the reference's
