@@ -160,6 +160,12 @@ class ContinuousEngine:
         self._free = list(range(self.S))
         self._waiting: List[_Request] = []
         self._staged: List[tuple] = []  # (chunk_cache, chunk_mask, slot_ids)
+        from .encoding_cache import EncodingCache
+
+        # frozen-ViT encoding table (VIT_CACHE in serve mode): built BEFORE
+        # warmup so the compiled prefill takes the vit_encodings input —
+        # with the cache on, every chunk rides that one program shape
+        self._enc_cache = EncodingCache.maybe_build(executor)
         if warmup:
             self._warmup()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -243,7 +249,10 @@ class ContinuousEngine:
         return _Request(next(iter(self._known_ids)), "")
 
     def _featurize(self, reqs):
-        return featurize_requests(self.executor, self.ocr_df, self.obj_df, reqs)
+        ds = featurize_requests(self.executor, self.ocr_df, self.obj_df, reqs)
+        if self._enc_cache is not None:
+            self._enc_cache.apply(ds, [r.image_id for r in reqs])
+        return ds
 
     def _chunk_batch(self, reqs):
         """Featurize reqs (<= C) and pad the model batch to exactly C rows."""
@@ -297,7 +306,16 @@ class ContinuousEngine:
 
     # -- client surface ---------------------------------------------------------
 
-    def submit(self, image_id, question: str, deadline_s: float = None):
+    def submit(self, image_id, question: str, deadline_s: float = None,
+               adapter: str = None):
+        # signature-compatible with ServingEngine.submit so the serve.py
+        # HTTP/stdin front-ends drive either engine; adapters are a
+        # gathered-engine feature (serve.py refuses --adapter --continuous)
+        if adapter is not None:
+            raise KeyError(
+                f"unknown adapter {adapter!r} (continuous engine serves "
+                "base only)"
+            )
         with self._lock:
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -365,6 +383,11 @@ class ContinuousEngine:
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
+                **(
+                    {"vit_cache": self._enc_cache.stats()}
+                    if self._enc_cache is not None
+                    else {}
+                ),
             }
 
     def reload(self, loadtype: str = "best") -> dict:
@@ -407,6 +430,8 @@ class ContinuousEngine:
         ev, err = self._reload_req
         try:
             self._params = self.executor._inference_params()
+            if self._enc_cache is not None:
+                self._enc_cache.flush()  # stale under the new ViT weights
             mb = self._chunk_batch([self._dummy_request()])
             cache, full_bias, enc_mask = self._prefill(self._params, mb)
             self._full_bias = full_bias

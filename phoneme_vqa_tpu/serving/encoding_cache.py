@@ -1,0 +1,169 @@
+"""Serving-side frozen-ViT encoding cache (``VIT_CACHE: true`` in serve mode).
+
+The offline counterpart (`data/vit_cache.py`) precomputes encodings for a
+whole dataset up front; serving cannot — the request stream is unknown and
+feature stores can be far larger than the encoding budget. This is the online
+form: a persistent ``image_id -> encoding`` LRU table owned by the engine.
+Each gathered batch encodes only its *missing* images (deduped, in fixed-size
+chunks so ONE compiled encoder executable serves every miss pattern), then
+feeds ``vit_encodings`` to the model instead of ``pixel_values`` — the swap
+the model families already accept through ``FusionModel._img_features``.
+
+Why it pays in serving specifically: VQA traffic is many questions per image
+(the reference's own eval data averages ~4 rows per image), and the reference
+reruns its frozen ViT on every one (`/root/reference/core/model/LaTr.py:85-97`
+recomputes `img_feat` per batch). Here a repeat image costs a table gather —
+no ViT forward, and ~half the H2D bytes (a 197x768 encoding row vs a
+3x224x224 f32 pixel tensor).
+
+Validity: the encoder is dropout-free, so an entry is exact while the ViT
+weights are unchanged. The table is therefore flushed on hot weight reload,
+and the cache refuses to build when any serving LoRA adapter targets the ViT
+(adapter switches would need per-adapter tables; base-only adapters — the
+supported LaTr-family shape — leave the ViT subtree untouched).
+
+Thread model: ``apply`` runs on the engine's single worker thread; ``flush``
+on HTTP/watcher threads during reload. One lock spans the whole
+miss-encode-and-insert so a flush can never be overtaken by a stale insert
+(the poisoned-weights class of race fixed once already in ``engine.reload``).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils.logger import get_logger
+
+log = get_logger(__name__)
+
+
+class EncodingCache:
+    def __init__(self, executor, chunk: int = 8, max_bytes: int = 4 << 30):
+        import jax
+
+        self.executor = executor
+        self.chunk = int(chunk)
+        self.max_bytes = int(max_bytes)
+        model = executor.model
+        self._encode = jax.jit(
+            lambda p, pix: model.apply(
+                {"params": p}, pix, method="encode_image"
+            )
+        )
+        self._table: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self._hits = 0
+        self._misses = 0
+        self._lock = threading.Lock()
+
+    # -- construction gate ------------------------------------------------------
+
+    @classmethod
+    def maybe_build(cls, executor, adapters=None) -> Optional["EncodingCache"]:
+        """Build when ``VIT_CACHE`` is on and caching is valid for this
+        executor, else None (with the reason logged). Mirrors the gating of
+        ``BaseExecutor._maybe_attach_vit_cache`` for the serve mode."""
+        config = getattr(executor, "config", None)
+        if config is None or not config.get("VIT_CACHE"):
+            return None
+        if getattr(getattr(executor, "model_config", None), "vit", None) is None:
+            log.warning(
+                f"(!) VIT_CACHE ignored: {config.MODEL_CLASS} has no image "
+                "encoder"
+            )
+            return None
+        for name, spec in (adapters or {}).items():
+            if "vit" in spec.get("lora", {}):
+                log.warning(
+                    f"(!) VIT_CACHE ignored: serving adapter {name!r} targets "
+                    "the ViT (encodings would differ per adapter)"
+                )
+                return None
+        chunk = int(config.get("VIT_CACHE_BATCH", 0) or 8)
+        max_bytes = int(float(config.get("VIT_CACHE_MAX_GB", 4)) * 2**30)
+        cache = cls(executor, chunk, max_bytes)
+        log.info(
+            f"# serving VIT_CACHE on: encode chunk {chunk}, "
+            f"bound {max_bytes >> 20} MiB"
+        )
+        return cache
+
+    # -- per-batch transform ------------------------------------------------------
+
+    def apply(self, ds, image_ids: List[str]) -> None:
+        """Swap ``ds``'s lazy ``pixel_values`` for eager ``vit_encodings``
+        gathered from the table, encoding the batch's missing images first.
+        ``image_ids`` aligns 1:1 with the dataset rows."""
+        if "pixel_values" not in ds.lazy_fields:
+            return  # family without pixels (SaL) — nothing to cache
+        if len(ds) != len(image_ids):
+            raise RuntimeError(
+                f"featurization dropped rows: {len(ds)} != {len(image_ids)}"
+            )
+        ids = [str(i) for i in image_ids]
+        with self._lock:
+            first_row = {}
+            for row, i in enumerate(ids):
+                if i not in self._table and i not in first_row:
+                    first_row[i] = row
+            if first_row:
+                self._encode_missing(ds, first_row)
+            out = []
+            for i in ids:
+                self._table.move_to_end(i)  # LRU touch
+                out.append(self._table[i])
+            self._hits += len(ids) - len(first_row)
+            self._misses += len(first_row)
+            enc = np.stack(out)
+            while self._bytes > self.max_bytes and len(self._table) > 1:
+                _, old = self._table.popitem(last=False)
+                self._bytes -= old.nbytes
+        del ds.lazy_fields["pixel_values"]
+        ds.arrays = dict(ds.arrays, vit_encodings=enc)
+
+    def _encode_missing(self, ds, first_row: dict) -> None:
+        """Encode each missing image once, in fixed ``chunk``-row calls
+        (short chunk padded by repeating its last row — one executable for
+        every miss count)."""
+        rows = np.fromiter(first_row.values(), dtype=np.int64)
+        pixels = ds.lazy_fields["pixel_values"](rows)
+        params = self.executor._inference_params()
+        encs = []
+        for start in range(0, len(rows), self.chunk):
+            pix = pixels[start : start + self.chunk]
+            n_valid = len(pix)
+            if n_valid < self.chunk:
+                pix = np.concatenate(
+                    [pix, np.repeat(pix[-1:], self.chunk - n_valid, axis=0)]
+                )
+            encs.append(np.asarray(self._encode(params, pix))[:n_valid])
+        encs = np.concatenate(encs)
+        for i, enc in zip(first_row, encs):
+            self._table[i] = enc
+            self._bytes += enc.nbytes
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def flush(self) -> None:
+        """Drop every entry (weights changed — encodings are stale). Holds
+        the same lock as ``apply``, so an in-flight apply completes (and its
+        possibly-stale inserts are cleared here) before the flush returns."""
+        with self._lock:
+            n = len(self._table)
+            self._table.clear()
+            self._bytes = 0
+        if n:
+            log.info(f"# serving VIT_CACHE flushed ({n} entries)")
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "entries": len(self._table),
+                "bytes": self._bytes,
+                "hits": self._hits,
+                "misses": self._misses,
+            }

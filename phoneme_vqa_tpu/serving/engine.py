@@ -239,6 +239,12 @@ class ServingEngine:
             # one jitted merge reused for every switch (retraces only if
             # adapter tree structures differ)
             self._merge = jax.jit(lora_mod.merge_lora, static_argnums=(2,))
+        from .encoding_cache import EncodingCache
+
+        # frozen-ViT encoding table (VIT_CACHE in serve mode): built BEFORE
+        # warmup so the warmed executables take the vit_encodings input —
+        # with the cache on, every batch rides that one program shape
+        self._enc_cache = EncodingCache.maybe_build(executor, self._adapters)
         if warmup:
             # pay the XLA compile before accepting traffic, not on the first
             # client request (compiles the fixed-shape generate executable —
@@ -402,6 +408,11 @@ class ServingEngine:
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
+                **(
+                    {"vit_cache": self._enc_cache.stats()}
+                    if self._enc_cache is not None
+                    else {}
+                ),
             }
 
     def prometheus_metrics(self) -> str:
@@ -473,6 +484,11 @@ class ServingEngine:
             if self._adapters:
                 self._base_params = self.executor.state.params
                 self._active_adapter = None
+            if self._enc_cache is not None:
+                # ViT weights may have changed with the base: drop the
+                # encoding table (flush serializes against an in-flight
+                # apply, so no stale insert can land after it)
+                self._enc_cache.flush()
         with self._stats_lock:
             self._cache.clear()
             self._reloads += 1
@@ -556,8 +572,12 @@ class ServingEngine:
         )
         qa["image_id"] = qa["image_id"].astype(self.ocr_df["image_id"].dtype)
         if self.obj_df is not None:
-            return self.executor._make_dataset(qa, self.ocr_df, self.obj_df)
-        return self.executor._make_dataset(qa, self.ocr_df)
+            ds = self.executor._make_dataset(qa, self.ocr_df, self.obj_df)
+        else:
+            ds = self.executor._make_dataset(qa, self.ocr_df)
+        if self._enc_cache is not None:
+            self._enc_cache.apply(ds, [r.image_id for r in reqs])
+        return ds
 
     def _run(self):
         """Dispatcher: gather -> featurize -> DISPATCH (async) -> hand off.

@@ -109,6 +109,13 @@ def test_deadline_shedding_and_unknown_id(latr):
         assert eng.stats()["expired"] == 1
         with pytest.raises(KeyError, match="unknown image_id"):
             eng.submit(99999.0, "q")
+        # submit is signature-compatible with ServingEngine (the serve.py
+        # HTTP handler always passes adapter=): None is accepted, a name
+        # is rejected as unknown rather than TypeError-ing the request
+        with pytest.raises(KeyError, match="unknown adapter"):
+            eng.submit(row.image_id, "q", adapter="x")
+        f2 = eng.submit(row.image_id, row.question, adapter=None)
+        assert isinstance(f2.result(timeout=120), str)
         # still serves after shedding
         assert isinstance(eng.answer(row.image_id, row.question, timeout=120), str)
 
