@@ -69,7 +69,7 @@ def make_batch(b: int, seed: int = 0):
     }
 
 
-def bench_tpu() -> tuple[float, float, float]:
+def bench_tpu() -> tuple[float, float, float, float, float, float]:
     import jax
 
     # persistent compilation cache: the scanned generate takes ~6 min to
@@ -116,21 +116,6 @@ def bench_tpu() -> tuple[float, float, float]:
     # overheads a real TPU host does not have; they are excluded from the
     # metric and reported separately.) Outputs are host-materialized because
     # the experimental axon backend's block_until_ready does not block.
-    # BENCH_VIT_CACHE=1 measures the executors' VIT_CACHE knob: frozen-ViT
-    # encodings precomputed once (outside the timed loop) and fed as the
-    # batch input — the eval pipeline when every image is already cached.
-    # NOT the headline default: the headline times the same per-batch work
-    # as the reference (which runs its frozen ViT every batch).
-    if os.environ.get("BENCH_VIT_CACHE") == "1":
-        enc = jax.jit(
-            lambda p, pix: model.apply(
-                {"params": p}, pix, method="encode_image"
-            )
-        )(params, batch["pixel_values"])
-        del batch["pixel_values"]
-        batch["vit_encodings"] = np.asarray(enc)
-        log(f"VIT_CACHE: feeding encodings {batch['vit_encodings'].shape}")
-
     generate = make_generate_fn(model, MAX_EVAL_LEN)
     iters = 8
 
@@ -170,7 +155,27 @@ def bench_tpu() -> tuple[float, float, float]:
         f"TPU: {throughput:.1f} samples/s (p50 batch={BATCH}: {p50_batch_ms:.1f} ms"
         f", best {best_batch_ms:.1f} ms); p50 per-answer at B=1: {p50_b1_ms:.1f} ms"
     )
-    return throughput, p50_batch_ms, p50_b1_ms
+
+    # The VIT_CACHE variant: frozen-ViT encodings precomputed outside the
+    # timed loop and fed as the batch input — the eval/serving pipeline once
+    # every image is cached (`VIT_CACHE: true`). Reported as extra fields,
+    # NOT the headline: the headline times the same per-batch work as the
+    # reference (which reruns its frozen ViT every batch).
+    enc = jax.jit(
+        lambda p, pix: model.apply({"params": p}, pix, method="encode_image")
+    )(params, batch["pixel_values"])
+    cbatch = {k: v for k, v in batch.items() if k != "pixel_values"}
+    cbatch["vit_encodings"] = np.asarray(enc)
+    log(f"VIT_CACHE variant: feeding encodings {cbatch['vit_encodings'].shape}")
+    p50_cached_ms, _ = timed_runs(cbatch)
+    p50_cached_b1_ms, _ = timed_runs({k: v[:1] for k, v in cbatch.items()})
+    cached_tput = BATCH / (p50_cached_ms / 1000)
+    log(
+        f"TPU VIT_CACHE: {cached_tput:.1f} samples/s (p50 {p50_cached_ms:.1f} ms"
+        f"); p50 per-answer at B=1: {p50_cached_b1_ms:.1f} ms"
+    )
+    return (throughput, p50_batch_ms, p50_b1_ms,
+            cached_tput, p50_cached_ms, p50_cached_b1_ms)
 
 
 def bench_cpu_reference() -> float:
@@ -246,7 +251,8 @@ def bench_cpu_reference() -> float:
 
 
 def main():
-    throughput, p50_batch_ms, p50_b1_ms = bench_tpu()
+    (throughput, p50_batch_ms, p50_b1_ms,
+     cached_tput, p50_cached_ms, p50_cached_b1_ms) = bench_tpu()
     try:
         baseline = bench_cpu_reference()
         vs = throughput / baseline
@@ -262,6 +268,9 @@ def main():
                 "vs_baseline": round(vs, 2),
                 "p50_batch_ms": round(p50_batch_ms, 2),
                 "p50_b1_ms": round(p50_b1_ms, 2),
+                "vit_cache_samples_per_sec": round(cached_tput, 2),
+                "vit_cache_p50_batch_ms": round(p50_cached_ms, 2),
+                "vit_cache_p50_b1_ms": round(p50_cached_b1_ms, 2),
             }
         )
     )
