@@ -52,7 +52,7 @@ BASE_DIMS = dict(
 
 def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
                  continuous: bool = False, horizon: int = 8,
-                 prefill_chunk: int = 4):
+                 prefill_chunk: int = 4, vit_cache: bool = False):
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
@@ -65,7 +65,7 @@ def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
         paths, os.path.join(work, "ck"), NUM_EPOCHS=1, SAVE=False,
         max_ocr_element=100, max_ocr_length=100, max_q_length=30,
         max_a_length=20, max_eval_length=20, DTYPE="bfloat16", NUMWORKERS=2,
-        **BASE_DIMS,
+        VIT_CACHE=vit_cache, **BASE_DIMS,
     )
     config = get_config(yaml_path)
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
@@ -185,6 +185,16 @@ def main():
                         "the gathered-batch ServingEngine (--batch = slots)")
     p.add_argument("--horizon", type=int, default=8)
     p.add_argument("--prefill-chunk", type=int, default=4)
+    p.add_argument("--vit-cache", action="store_true",
+                   help="serve with VIT_CACHE: true (frozen-ViT encoding "
+                        "table; fixture traffic rotates over 8 images, so "
+                        "steady state is all cache hits)")
+    p.add_argument("--rates", default="",
+                   help="comma list of absolute offered rates (req/s) for "
+                        "the under/near/over/overload cells, overriding the "
+                        "flood-derived multiples — use to compare two engine "
+                        "variants at MATCHED load (the flood probe is "
+                        "prefill-ramp dominated and noisy under host load)")
     p.add_argument("--lone", type=int, default=0, metavar="N",
                    help="measure N lone-request latencies with the single "
                         "--batch shape vs a [1, --batch] bucket ladder, "
@@ -224,14 +234,20 @@ def main():
     eng, ids = build_engine(
         args.work, args.batch, continuous=args.continuous,
         horizon=args.horizon, prefill_chunk=args.prefill_chunk,
+        vit_cache=args.vit_cache,
     )
     cap = flood_capacity(eng, ids)
+    fixed = [float(x) for x in args.rates.split(",") if x] or None
+    if fixed and len(fixed) not in (3, 4):
+        p.error("--rates wants 3 or 4 comma-separated req/s values")
 
     runs = []
-    for mult, label in ((0.5, "under"), (0.9, "near"), (1.5, "over")):
+    cells = ((0.5, "under"), (0.9, "near"), (1.5, "over"))
+    for k, (mult, label) in enumerate(cells):
         stats0 = eng.stats()
-        r = open_loop(eng, ids, rate=cap * mult, duration=args.duration,
-                      seed=int(mult * 10))
+        r = open_loop(eng, ids,
+                      rate=fixed[k] if fixed else cap * mult,
+                      duration=args.duration, seed=int(mult * 10))
         s = eng.stats()
         nb = lambda d: d.get("batches", d.get("decode_dispatches", 0))
         r.update(label=label, batches=nb(s) - nb(stats0))
@@ -246,10 +262,11 @@ def main():
     eng2, ids = build_engine(
         args.work + "_bp", args.batch, max_queue=-1,
         continuous=args.continuous, horizon=args.horizon,
-        prefill_chunk=args.prefill_chunk,
+        prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
     )
-    r = open_loop(eng2, ids, rate=cap * 2.0, duration=min(args.duration, 15.0),
-                  seed=99)
+    r = open_loop(eng2, ids,
+                  rate=fixed[3] if fixed and len(fixed) == 4 else cap * 2.0,
+                  duration=min(args.duration, 15.0), seed=99)
     r.update(label="overload_bounded_queue")
     runs.append(r)
     log(f"overload: {r}")
@@ -259,6 +276,7 @@ def main():
         "bench": "serving_open_loop",
         "engine": "continuous" if args.continuous else "gathered",
         "batch": args.batch,
+        "vit_cache": bool(args.vit_cache),
         "flood_capacity_answers_per_sec": round(cap, 1),
         "runs": runs,
     }, indent=2))
