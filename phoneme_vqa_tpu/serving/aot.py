@@ -139,7 +139,10 @@ def pack(engine, path: str) -> List[dict]:
 
     Returns the manifest entries written. Runs after engine warmup, so each
     ``lower().compile()`` re-hits the in-process/persistent compile cache
-    rather than paying a fresh compile."""
+    rather than paying a fresh compile. Every entry is verified by an
+    actual deserialize+execute round trip before it is trusted; an entry
+    that fails (a persistent-cache-loaded executable does not survive
+    re-serialization on XLA:CPU) is transparently recompiled cache-free."""
     executor = engine.executor
     ds = engine._featurize([engine._dummy_request()])
     os.makedirs(path, exist_ok=True)
@@ -163,6 +166,52 @@ def pack(engine, path: str) -> List[dict]:
     return entries
 
 
+def _compile_without_persistent_cache(fn, args):
+    """Compile ``fn`` for ``args`` with the persistent compilation cache
+    genuinely OFF, returning a freshly-built executable.
+
+    Setting ``jax_compilation_cache_dir=None`` is NOT enough once the cache
+    has been used in-process: ``compilation_cache.is_cache_used`` memoizes
+    its verdict (``_cache_checked``) and ``_get_cache`` keeps returning the
+    already-initialized cache object. ``reset_cache()`` clears both, and the
+    enable flag makes the re-check come up False."""
+    import numpy as np  # noqa: F401  (kept local: aot is import-light)
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    # drop the IN-MEMORY compiled-executable caches too: lower().compile()
+    # for a computation compiled before returns the same (cache-loaded)
+    # executable object without consulting the persistent-cache config
+    jax.clear_caches()
+    try:
+        return fn.lower(*args).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+        _cc.reset_cache()  # re-memoize under the restored settings
+
+
+def _verify_blob(blob: bytes, devices, args) -> None:
+    """Deserialize ``blob`` and EXECUTE it on ``args``, materializing the
+    output — load alone is not enough. An executable that came out of the
+    persistent compilation cache re-serializes into an XLA:CPU AOT blob
+    whose target-machine feature list includes compile-time tuning
+    preferences (+prefer-no-scatter/+prefer-no-gather) the host feature
+    probe lacks; such a blob loads with a warning but fails at run time
+    ("Buffer Definition Event ... not found"). Raises on any failure."""
+    import numpy as np
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    payload, in_tree, out_tree = pickle.loads(blob)
+    fn = deserialize_and_load(
+        payload, in_tree, out_tree, execution_devices=devices
+    )
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)  # force execution + D2H
+
+
 def _pack_one(
     executor, dataset, batch_size: int, max_length: int, with_scores: bool,
     path: str,
@@ -173,9 +222,25 @@ def _pack_one(
     if isinstance(fn, AotGenerateDispatch):  # re-pack from a loaded store
         fn = fn.fallback()
     args = _example_args(executor, dataset, batch_size)
+    devices = list(executor.mesh.devices.flatten())
     compiled = fn.lower(*args).compile()
     payload, in_tree, out_tree = serialize(compiled)
     blob = pickle.dumps((payload, in_tree, out_tree))
+    try:
+        _verify_blob(blob, devices, args)
+    except Exception as e:
+        # compile() likely hit the persistent compilation cache, and a
+        # cache-loaded executable does not survive serialize->execute.
+        # Self-heal: recompile fresh with the cache off and re-verify.
+        log.warning(
+            f"(!) AOT pack: serialized executable for batch={batch_size} "
+            f"failed round-trip verification ({type(e).__name__}: {e}) — "
+            f"recompiling without the persistent compilation cache"
+        )
+        compiled = _compile_without_persistent_cache(fn, args)
+        payload, in_tree, out_tree = serialize(compiled)
+        blob = pickle.dumps((payload, in_tree, out_tree))
+        _verify_blob(blob, devices, args)  # must pass now; raise if not
     fname = _entry_filename(batch_size, max_length, with_scores)
     with open(os.path.join(path, fname), "wb") as f:
         f.write(blob)

@@ -29,13 +29,22 @@ def _no_persistent_compile_cache():
     tier's persistent compilation cache must not interpose — XLA:CPU
     executables loaded back from the cache carry compile-machine feature
     PREFERENCES (+prefer-no-scatter/gather) the host feature probe lacks,
-    and executing them fails (Buffer Definition Event ... not found)."""
-    import jax
+    and executing them fails (Buffer Definition Event ... not found).
 
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    Nulling jax_compilation_cache_dir alone is NOT enough: once any earlier
+    module (test_serving.py, alphabetically first) has compiled with the
+    cache on, ``is_cache_used`` has memoized True and ``_get_cache`` keeps
+    returning the initialized cache object. Disable via the enable flag and
+    reset the memoized state on both edges."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
     yield
-    jax.config.update("jax_compilation_cache_dir", prev)
+    jax.config.update("jax_enable_compilation_cache", prev)
+    cc.reset_cache()
 
 
 @pytest.fixture(scope="module")
@@ -161,6 +170,67 @@ def test_spmd_pack_load_roundtrip(tmp_path):
     assert got == want
     disp = ex2._generate_fns[(10, False)]
     assert disp._fallback is None
+
+
+def test_pack_self_heals_persistent_cache_loaded_executable(tmp_path):
+    """Regression (round-5): serve.py runs with the persistent compilation
+    cache ON, so pack()'s lower().compile() can return a cache-LOADED
+    executable — which on XLA:CPU re-serializes into an AOT blob carrying
+    compile-machine tuning preferences (+prefer-no-scatter/gather) that
+    loads with a warning but fails at RUN time. pack must catch this via
+    its round-trip execute verification and recompile cache-free, so the
+    store it writes always works."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    paths = make_latr_fixture(tmp_path)
+    ocr_df = textlayout_ocr_adapt(paths["ocr"])
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        max_eval_length=10, MESH={"data": 1},
+    )
+    qa = pd.read_csv(paths["val"])
+    eng_kw = dict(batch_size=4, max_wait_ms=5, max_answer_length=10,
+                  buckets=[1])
+    prev_enable = jax.config.jax_enable_compilation_cache
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "ccache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    cc.reset_cache()
+    store = str(tmp_path / "store")
+    try:
+        ex = _fresh_executor(yaml_path)
+        with ServingEngine(ex, ocr_df, **eng_kw) as eng:
+            aot.pack(eng, str(tmp_path / "store_discard"))  # populates cache
+            want = [
+                eng.submit(r.image_id, r.question).result(timeout=120)
+                for r in qa.itertuples()
+            ]
+        # drop in-memory executables: the next lower().compile() must come
+        # back as a persistent-cache LOAD — the broken-serialization case
+        jax.clear_caches()
+        ex2 = _fresh_executor(yaml_path)
+        with ServingEngine(ex2, ocr_df, **eng_kw) as eng:
+            entries = aot.pack(eng, store)
+        assert len(entries) == 2
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev_enable)
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        cc.reset_cache()
+    ex3 = _fresh_executor(yaml_path)
+    loaded = aot.load(ex3, store)
+    assert len(loaded) == 2
+    with ServingEngine(ex3, ocr_df, **eng_kw) as eng:
+        got = [
+            eng.submit(r.image_id, r.question).result(timeout=120)
+            for r in qa.itertuples()
+        ]
+    assert got == want
+    disp = ex3._generate_fns[(10, False)]
+    assert disp._fallback is None  # the healed store really served every call
 
 
 def test_signature_mismatch_falls_back_to_jit(packed):
