@@ -129,6 +129,41 @@ class MHA(nn.Module):
         )
         return self.out(self._merge(out))
 
+    def step_k(self, x, cache_k, cache_v, pos):
+        """K-token self-attention window at PER-ROW positions (the
+        T5Attention.step_k analog, minus relative bias): queries attend the
+        cache strictly before their row's window plus a causal (K, K)
+        in-window block; no cache write here (the caller scatters all
+        layers' window K/V in one one-hot merge).
+        x (B, K, D), pos (B,) -> (out (B, K, D), k_new, v_new (B, H, K, d))."""
+        q = self._split(self.q_proj(x))
+        k_new = self._split(self.k_proj(x))
+        v_new = self._split(self.v_proj(x))
+        t = cache_k.shape[2]
+        kk = q.shape[2]
+        scale = self._scale()
+
+        logits_cache = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+        ) * scale
+        logits_win = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_new, preferred_element_type=jnp.float32
+        ) * scale
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        keep_cache = tpos < pos[:, None, None, None]  # strictly before window
+        logits_cache = jnp.where(keep_cache, logits_cache, -1e9)
+        jq = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 0)
+        jk = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 1)
+        logits_win = jnp.where(jk <= jq, logits_win, -1e9)
+
+        joint = jnp.concatenate([logits_cache, logits_win], axis=-1)
+        probs = jax.nn.softmax(joint, axis=-1).astype(cache_v.dtype)
+        p_cache, p_win = probs[..., :t], probs[..., t:]
+        out = jnp.einsum("bhqk,bhkd->bhqd", p_cache, cache_v) + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_win, v_new
+        )
+        return self.out(self._merge(out)), k_new, v_new
+
 
 class DecoderLayer(nn.Module):
     """Post-LN: x = LN(x + sublayer(x)) (torch norm_first=False default)."""
@@ -169,6 +204,38 @@ class DecoderLayer(nn.Module):
         x = self.ln2(x + self.cross_attn.cross_step(x, cross_k, cross_v, memory_mask))
         x = self.ln3(x + self._ffn(x))
         return x, k_new, v_new
+
+    def step_k(self, x, cache_k, cache_v, cross_k, cross_v, pos, memory_mask=None):
+        h, k_new, v_new = self.self_attn.step_k(x, cache_k, cache_v, pos)
+        x = self.ln1(x + h)
+        x = self.ln2(x + self.cross_attn.cross_step(x, cross_k, cross_v, memory_mask))
+        x = self.ln3(x + self._ffn(x))
+        return x, k_new, v_new
+
+
+def per_row_pe_rows(pe: jnp.ndarray, pos: jnp.ndarray, kk: int) -> jnp.ndarray:
+    """Sinusoidal PE rows for a K-token window at per-row start positions:
+    (maxlen, D), (B,) -> (B, K, D), clamped at the table end."""
+    qpos = pos[:, None] + jnp.arange(kk, dtype=pos.dtype)[None, :]
+    qpos = jnp.minimum(qpos, pe.shape[0] - 1)
+    return jnp.take(pe, qpos.reshape(-1), axis=0).reshape(
+        pos.shape[0], kk, pe.shape[1]
+    )
+
+
+def scatter_window_kv(cache: Dict[str, jnp.ndarray], k_news, v_news,
+                      pos: jnp.ndarray, t: int, kk: int):
+    """Scatter (L, B, H, K, d) window K/V into the stacked (L, B, H, T, d)
+    cache at per-row positions pos..pos+K-1 with a one-hot merge — exactly
+    two cache writes per step for all layers (T5Decoder.step_k's scheme)."""
+    qpos = pos[:, None] + jnp.arange(kk, dtype=pos.dtype)[None, :]
+    qpos = jnp.minimum(qpos, t - 1)
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
+    onehot = (tpos == qpos[:, None, :]).astype(cache["k"].dtype)  # (B, T, K)
+    keep_old = (1.0 - jnp.minimum(onehot.sum(-1), 1.0))[None, :, None, :, None]
+    new_k = cache["k"] * keep_old + jnp.einsum("btj,lbhjd->lbhtd", onehot, k_news)
+    new_v = cache["v"] * keep_old + jnp.einsum("btj,lbhjd->lbhtd", onehot, v_news)
+    return dict(cache, k=new_k, v=new_v)
 
 
 class CustomDecoder(nn.Module):
@@ -254,3 +321,26 @@ class CustomDecoder(nn.Module):
         x = self._embed(tokens[:, None], offset=index)
         x, cache = self._run_steps(x, cache, index, memory_mask)
         return self.lm_head(x).astype(jnp.float32)[:, 0], cache
+
+    def step_k(self, tokens: jnp.ndarray, cache, pos, memory_mask=None):
+        """K-token decode step at PER-ROW positions (continuous batching /
+        speculative verification): tokens (B, K), pos (B,) ->
+        ((B, K, V) f32 logits, new cache)."""
+        c = self.cfg
+        memory_mask = None if memory_mask is None else memory_mask.astype(bool)
+        kk = tokens.shape[1]
+        x = self.embed(tokens) * np.sqrt(c.d_model)
+        x = (x + per_row_pe_rows(self.pe, pos, kk)).astype(c.dtype)
+        k_news, v_news = [], []
+        for l, layer in enumerate(self.layers):
+            x, k_new, v_new = layer.step_k(
+                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                pos, memory_mask,
+            )
+            k_news.append(k_new)
+            v_news.append(v_new)
+        cache = scatter_window_kv(
+            cache, jnp.stack(k_news), jnp.stack(v_news), pos,
+            cache["k"].shape[3], kk,
+        )
+        return self.lm_head(x).astype(jnp.float32), cache

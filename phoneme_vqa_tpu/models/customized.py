@@ -119,7 +119,10 @@ class CustomizedSaL_config:
 class _CustomDecodeMixin:
     """Replaces the T5 decoder with the custom decoder uniformly."""
 
-    spec_decode_supported = False  # decode cache is the custom decoder's
+    # SPEC_DECODE stays off: its prompt-lookup drafts are T5-vocab token ids
+    # (OCR/question), vocabulary-mismatched with the pluggable answer
+    # tokenizer. Continuous batching keys on decode_step_k instead.
+    spec_decode_supported = False
 
     def _setup_decoder(self):
         self.decoder = CustomDecoder(self.cfg.decoder, name="decoder")
@@ -137,6 +140,18 @@ class _CustomDecodeMixin:
 
     def decode_step(self, tokens, cache, index, full_bias, enc_mask):
         return self.decoder.step(tokens, cache, index, enc_mask)
+
+    def decode_step_k(self, tokens, cache, pos, full_bias, enc_mask):
+        """Per-row-position K-token step (continuous batching); full_bias is
+        the dummy — the custom decoder has no relative bias."""
+        return self.decoder.step_k(tokens, cache, pos, enc_mask)
+
+    @property
+    def decode_token_ids(self):
+        """(bos, eos, pad) of the ANSWER vocabulary — the decode tokenizer's
+        ids baked into the decoder config, not the T5 backbone's."""
+        c = self.cfg.decoder
+        return c.bos_id, c.eos_id, c.pad_id
 
 
 @MODELS.register("CustomizedLaTr")

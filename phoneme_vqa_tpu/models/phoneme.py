@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.registry import MODELS
-from .custom_decoder import CustomDecoderConfig, DecoderLayer, sinusoidal_table
+from .custom_decoder import (
+    CustomDecoderConfig,
+    DecoderLayer,
+    per_row_pe_rows,
+    scatter_window_kv,
+    sinusoidal_table,
+)
 from .customized import CustomizedSaLConfig, _CustomDecodeMixin
 from .latr import LaTr, LaTrConfig
 from .prestu import PreSTU
@@ -181,6 +187,36 @@ class PhonemeTripleDecoder(nn.Module):
         onset, rhyme, tone = self._heads(x)
         return (onset[:, 0], rhyme[:, 0], tone[:, 0]), cache
 
+    def step_k(self, triples, cache, pos, memory_mask=None):
+        """K-triple decode step at PER-ROW positions (continuous batching):
+        triples (B, K, 3), pos (B,) -> (3-tuple of (B, K, V_c) f32 logits,
+        new cache)."""
+        c = self.cfg
+        memory_mask = None if memory_mask is None else memory_mask.astype(bool)
+        kk = triples.shape[1]
+        x = jnp.concatenate(
+            [
+                self.onset_embed(triples[..., 0]),
+                self.rhyme_embed(triples[..., 1]),
+                self.tone_embed(triples[..., 2]),
+            ],
+            axis=-1,
+        )
+        x = (x + per_row_pe_rows(self.pe, pos, kk)).astype(c.dtype)
+        k_news, v_news = [], []
+        for l, layer in enumerate(self.layers):
+            x, k_new, v_new = layer.step_k(
+                x, cache["k"][l], cache["v"][l], cache["ck"][l], cache["cv"][l],
+                pos, memory_mask,
+            )
+            k_news.append(k_new)
+            v_news.append(v_new)
+        cache = scatter_window_kv(
+            cache, jnp.stack(k_news), jnp.stack(v_news), pos,
+            cache["k"].shape[3], kk,
+        )
+        return self._heads(x), cache
+
 
 def phoneme_decoder_from_yaml(config, t5, onset_vocab, rhyme_vocab, tone_vocab,
                               pad_id, bos_id, eos_id) -> PhonemeDecoderConfig:
@@ -202,7 +238,11 @@ def phoneme_decoder_from_yaml(config, t5, onset_vocab, rhyme_vocab, tone_vocab,
 class _PhonemeTripleMixin:
     """Triple-decoder plumbing over any fusion encoder."""
 
-    spec_decode_supported = False  # decode cache is the triple decoder's
+    # SPEC_DECODE stays off (single-stream prompt-lookup drafts can't feed a
+    # triple stream); continuous batching keys on decode_step_k +
+    # decode_components instead.
+    spec_decode_supported = False
+    decode_components = 3
 
     def _setup_decoder(self):
         self.decoder = PhonemeTripleDecoder(self.cfg.phoneme_decoder, name="decoder")
@@ -220,6 +260,15 @@ class _PhonemeTripleMixin:
 
     def decode_step(self, tokens, cache, index, full_bias, enc_mask):
         return self.decoder.step(tokens, cache, index, enc_mask)
+
+    def decode_step_k(self, tokens, cache, pos, full_bias, enc_mask):
+        """Per-row-position K-triple step (continuous batching)."""
+        return self.decoder.step_k(tokens, cache, pos, enc_mask)
+
+    @property
+    def decode_token_ids(self):
+        c = self.cfg.phoneme_decoder
+        return c.bos_id, c.eos_id, c.pad_id
 
 
 @MODELS.register("PhonemeLaTr")

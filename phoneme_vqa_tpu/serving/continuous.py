@@ -26,9 +26,14 @@ engine is the canonical TPU serving design instead:
   array shapes are fixed at warmup; one trash slot absorbs the padding rows
   of partial prefill chunks.
 
-Supported families: the stock-T5-decoder models (LaTr / PreSTU / SaL —
-``spec_decode_supported``). Custom-decoder families (Customized* / Phoneme*)
-keep the gathered-batch engine (`serve.py` falls back automatically).
+Supported families: ALL NINE — the capability is a per-row-position decode
+step (``decode_step_k``), provided by the stock T5 decoder
+(`models/t5.py: T5Decoder.step_k`), the custom post-LN decoder
+(`models/custom_decoder.py: CustomDecoder.step_k` — Customized*, PhonemeSaL)
+and the phoneme triple decoder (`models/phoneme.py:
+PhonemeTripleDecoder.step_k` — PhonemeLaTr/PreSTU, the framework's namesake
+decode: three heads argmaxed per step, a slot stops when its ONSET emits EOS,
+`/root/reference/core/model/PhonemeLaTr.py:198-214`).
 
 Greedy only (the production serving decode); answers equal
 ``executor.infer``'s exactly in f32 — `tests/test_continuous.py` pins
@@ -55,6 +60,7 @@ import pandas as pd
 
 from ..utils.logger import get_logger
 from .engine import _Request, featurize_requests
+from .watchdog import StallWatchdog, fail_future
 
 log = get_logger(__name__)
 
@@ -76,6 +82,13 @@ class ContinuousEngine:
         per-dispatch overhead).
     max_answer_length: decode length cap (same meaning as executor.infer).
     max_queue: -1 auto (4 x num_slots), 0 unbounded, >0 explicit bound.
+    stall_timeout_s: device-stall watchdog — a single decode dispatch (or
+        prefill) blocking longer than this fails every in-flight future,
+        marks the engine unhealthy (stats()["unhealthy"], /healthz 503) and
+        keeps stop() returning. A dead TPU tunnel otherwise hangs
+        np.asarray forever. 0 disables. Deadlines are also enforced
+        MID-DECODE: a slotted request whose deadline passes is expired at
+        the next dispatch boundary and its device slot deactivated.
     """
 
     def __init__(
@@ -95,13 +108,11 @@ class ContinuousEngine:
         cache_size: int = 0,
     ):
         model = executor.model
-        if not getattr(type(model), "spec_decode_supported", False) or not hasattr(
-            type(model), "decode_step_k"
-        ):
+        if not hasattr(type(model), "decode_step_k"):
             raise ValueError(
-                f"{type(model).__name__} uses a custom decoder cache — "
-                "continuous batching needs the stock T5 per-row-position "
-                "step; serve this family with the gathered-batch engine"
+                f"{type(model).__name__} has no per-row-position decode step "
+                "(decode_step_k) — continuous batching needs it; serve this "
+                "model with the gathered-batch engine"
             )
         self.executor = executor
         self.ocr_df = ocr_df
@@ -142,10 +153,13 @@ class ContinuousEngine:
         self._slot_steps = 0  # slot-steps decoded (occupancy numerator)
         self._total_steps = 0  # S x steps (occupancy denominator)
 
-        t5c = model.cfg.t5
-        self._bos = int(t5c.decoder_start_token_id)
-        self._eos = int(t5c.eos_token_id)
-        self._pad = int(t5c.pad_token_id)
+        # components per decode step (1 = token stream, 3 = phoneme triples)
+        self._ncomp = int(getattr(type(model), "decode_components", 1))
+        ids = getattr(model, "decode_token_ids", None)
+        if ids is None:  # stock T5 families: the backbone vocabulary's ids
+            t5c = model.cfg.t5
+            ids = (t5c.decoder_start_token_id, t5c.eos_token_id, t5c.pad_token_id)
+        self._bos, self._eos, self._pad = (int(i) for i in ids)
 
         self._params = executor._inference_params()
         self._build_compiled()
@@ -204,38 +218,64 @@ class ContinuousEngine:
             active = st["active"].at[slots].set(True)
             st["active"] = active.at[self.S].set(False)  # trash never decodes
 
+            ncomp = self._ncomp
+
             def body(st, _):
                 cache = {n: st[n] for n in ("k", "v", "ck", "cv")}
+                cur = st["cur"][:, None] if ncomp == 1 else st["cur"][:, None, :]
                 logits, cache = model.apply(
-                    {"params": params}, st["cur"][:, None], cache, st["pos"],
+                    {"params": params}, cur, cache, st["pos"],
                     full_bias, st["enc_mask"],
                     method=type(model).decode_step_k,
                 )
-                tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                tok = jnp.where(st["active"], tok, pad)
                 # chosen-token log-prob (greedy_decode's chosen_logprob
                 # semantics: f32 log_softmax); always computed — one
                 # vocab-size reduction per step keeps ONE program whether or
                 # not the confidence response format is on
-                lp = jax.nn.log_softmax(
-                    logits[:, 0].astype(jnp.float32), axis=-1
-                )
-                tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+                if ncomp == 1:
+                    tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                    tok = jnp.where(st["active"], tok, pad)
+                    lp = jax.nn.log_softmax(
+                        logits[:, 0].astype(jnp.float32), axis=-1
+                    )
+                    tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
+                    stop_tok = tok
+                else:
+                    # component tuple: argmax each head independently; the
+                    # slot's step log-prob is the SUM over components
+                    # (multi_head_greedy_decode's with_scores semantics)
+                    tok = jnp.stack(
+                        [jnp.argmax(l[:, 0], axis=-1).astype(jnp.int32)
+                         for l in logits],
+                        axis=-1,
+                    )  # (S+1, ncomp)
+                    tok = jnp.where(st["active"][:, None], tok, pad)
+                    tok_lp = sum(
+                        jnp.take_along_axis(
+                            jax.nn.log_softmax(
+                                l[:, 0].astype(jnp.float32), axis=-1
+                            ),
+                            tok[:, c][:, None], axis=1,
+                        )[:, 0]
+                        for c, l in enumerate(logits)
+                    )
+                    stop_tok = tok[:, 0]  # onset EOS ends the row
                 new_pos = st["pos"] + st["active"].astype(jnp.int32)
                 # a slot stops on EOS or when it has emitted maxl-1 tokens
                 # (executor.infer's greedy cap: emissions fill positions
                 # 1..maxl-1 after the start token)
                 active = (
-                    st["active"] & (tok != eos) & (new_pos < maxl - 1)
+                    st["active"] & (stop_tok != eos) & (new_pos < maxl - 1)
                 )
                 st2 = dict(st, **cache)
-                st2["cur"] = jnp.where(st["active"], tok, st["cur"])
+                keep = st["active"] if ncomp == 1 else st["active"][:, None]
+                st2["cur"] = jnp.where(keep, tok, st["cur"])
                 st2["pos"] = new_pos
                 st2["active"] = active
                 return st2, (tok, tok_lp)
 
             st, (toks, lps) = jax.lax.scan(body, st, None, length=self.horizon)
-            return st, toks, lps  # each: (horizon, S+1)
+            return st, toks, lps  # toks (horizon, S+1[, ncomp]); lps (horizon, S+1)
 
         self._advance = advance
         self._full_bias = None  # set at warmup (constant per max_len)
@@ -284,7 +324,8 @@ class ContinuousEngine:
         state = {n: alloc(cache[n]) for n in ("k", "v", "ck", "cv")}
         state["enc_mask"] = jnp.zeros((S1,) + enc_mask.shape[1:], enc_mask.dtype)
         state["pos"] = jnp.zeros((S1,), jnp.int32)
-        state["cur"] = jnp.full((S1,), self._bos, jnp.int32)
+        cur_shape = (S1,) if self._ncomp == 1 else (S1, self._ncomp)
+        state["cur"] = jnp.full(cur_shape, self._bos, jnp.int32)
         state["active"] = jnp.zeros((S1,), bool)
         state, toks, _ = self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
@@ -548,9 +589,16 @@ class ContinuousEngine:
         req = self._slot_req[s]
         toks = self._slot_toks[s]
         lps = self._slot_lps[s]
-        # reconstruct the greedy_decode row shape: [bos] + emissions + pad
-        row = [self._bos] + toks
-        row += [self._pad] * (self.max_answer_length - len(row))
+        # reconstruct the greedy-decode row shape: [bos] + emissions + pad
+        # (token ids, or component triples for the phoneme families)
+        if self._ncomp == 1:
+            row = [self._bos] + toks
+            row += [self._pad] * (self.max_answer_length - len(row))
+        else:
+            row = [[self._bos] * self._ncomp] + toks
+            row += [[self._pad] * self._ncomp] * (
+                self.max_answer_length - len(row)
+            )
         try:
             answer = self.executor._decode_rows([row])[0]
         except Exception as e:
@@ -561,9 +609,11 @@ class ContinuousEngine:
         else:
             if self.confidence:
                 # greedy_decode's with_scores semantics: exp(mean chosen
-                # log-prob over emitted tokens, EOS included); same response
-                # shape as the gathered engine's confidence mode
-                score = sum(lps) / max(len(lps), 1)
+                # log-prob over emitted component ids, EOS included); same
+                # response shape as the gathered engine's confidence mode
+                # (each lps entry is already summed over the step's ncomp
+                # components, so the mean runs over steps x components)
+                score = sum(lps) / max(len(lps) * self._ncomp, 1)
                 answer = {
                     "answer": answer,
                     "confidence": round(math.exp(score), 4),
@@ -641,10 +691,15 @@ class ContinuousEngine:
                     req = self._slot_req[s]
                     if req is None or not self._live[s]:
                         continue
-                    t = int(toks_np[step, s])
+                    if self._ncomp == 1:
+                        t = int(toks_np[step, s])
+                        stop = t == self._eos
+                    else:
+                        t = [int(c) for c in toks_np[step, s]]
+                        stop = t[0] == self._eos  # onset EOS ends the row
                     self._slot_toks[s].append(t)
                     self._slot_lps[s].append(float(lps_np[step, s]))
-                    if t == self._eos or len(self._slot_toks[s]) >= (
+                    if stop or len(self._slot_toks[s]) >= (
                         self.max_answer_length - 1
                     ):
                         self._finish_slot(s)

@@ -103,9 +103,9 @@ def parse_args():
                         "can keep writing checkpoints next to a live server)")
     p.add_argument("--continuous", action="store_true",
                    help="continuous batching: slot-based decode with "
-                        "step-boundary refill (stock-T5-decoder families; "
-                        "--batch-size becomes the slot count). Incompatible "
-                        "with --adapter/--cache-size/--confidence/--buckets/"
+                        "step-boundary refill (all nine families, including "
+                        "the phoneme triple stream; --batch-size becomes the "
+                        "slot count). Incompatible with --adapter/--buckets/"
                         "--aot for now")
     p.add_argument("--horizon", type=int, default=8,
                    help="continuous mode: decode steps per device dispatch "

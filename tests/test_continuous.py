@@ -120,22 +120,117 @@ def test_deadline_shedding_and_unknown_id(latr):
         assert isinstance(eng.answer(row.image_id, row.question, timeout=120), str)
 
 
-def test_unsupported_family_fails_fast(tmp_path):
-    """Custom-decoder families must be rejected with a clear error (serve.py
-    falls back to the gathered-batch engine)."""
+def test_customized_family_continuous(tmp_path):
+    """CustomizedLaTr (custom post-LN decoder, byte answer vocabulary)
+    through the slot decode: answers — through the pluggable tokenizer's
+    detokenization — identical to ``executor.infer``."""
     paths = make_latr_fixture(tmp_path)
     yaml_path = tiny_latr_yaml(
         paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
         EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
         MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
         DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
-        NUM_FREEZE_EPOCH=0, max_a_length=16,
+        NUM_FREEZE_EPOCH=0, max_a_length=16, max_eval_length=10,
+        DTYPE="float32",
     )
     config = get_config(yaml_path)
-    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="train")
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
     ocr_df = textlayout_ocr_adapt(config.ocr_path)
-    with pytest.raises(ValueError, match="custom decoder cache"):
-        ContinuousEngine(ex, ocr_df, num_slots=2, warmup=False)
+    qa = pd.read_csv(paths["val"])
+    want = ex.infer(ex.val_data, 4, 10)
+    with ContinuousEngine(ex, ocr_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=300) for f in futs]
+    assert got == want
+
+
+def test_phoneme_latr_continuous(tmp_path):
+    """The framework's NAMESAKE decode through its best serving engine:
+    PhonemeLaTr's triple stream (onset/rhyme/tone argmaxed per step, row
+    stops on onset EOS) slot-decodes to answers — through compose_word
+    detokenization — identical to ``executor.infer``, and confidence scores
+    match executor-level return_scores."""
+    import json
+    import math
+    import os
+
+    from .fixtures import ANSWERS, QUESTIONS
+
+    paths = make_latr_fixture(tmp_path)
+    ann = {
+        "annotations": [
+            {"question": q, "answers": [a]} for q, a in zip(QUESTIONS, ANSWERS)
+        ]
+    }
+    ann_path = os.path.join(str(tmp_path), "annotations.json")
+    with open(ann_path, "w", encoding="utf-8") as f:
+        json.dump(ann, f, ensure_ascii=False)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="PhonemeLaTr_Executor", MODEL_CLASS="PhonemeLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        vocab_path=str(tmp_path / "phoneme_vocab.json"),
+        annotation_paths=[ann_path],
+        num_decoder_layers=2, n_head=4, NUM_FREEZE_EPOCH=0,
+        max_a_length=16, max_eval_length=10, isgreedy=True, num_beam=1,
+        DTYPE="float32",
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    qa = pd.read_csv(paths["val"])
+    want, want_scores = ex.infer(ex.val_data, 4, 10, return_scores=True)
+    with ContinuousEngine(ex, ocr_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10,
+                          confidence=True) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=300) for f in futs]
+    assert [g["answer"] for g in got] == want
+    for g, s in zip(got, want_scores):
+        assert abs(g["confidence"] - math.exp(s)) < 1e-3
+    assert eng.stats()["served"] == len(qa)
+
+
+@pytest.mark.slow
+def test_phoneme_sal_continuous(tmp_path):
+    """PhonemeSaL (flat phoneme stream, 2D-bias encoder) slot decode."""
+    paths = make_sal_fixture(tmp_path)
+    yaml_path = tiny_sal_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="PhonemeSaL_Executor", MODEL_CLASS="PhonemeSaL",
+        MODEL_MOD_CONFIG_CLASS="CustomizedSaL_config",
+        num_decoder_layers=2, n_head=4, max_a_length=24,
+        max_eval_length=12, DTYPE="float32",
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
+    ocr_df, obj_df = ex.serve_frames
+    ex_eval = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ex_eval.state = ex_eval.state.replace(params=ex.state.params)
+    ex_eval._place_state()
+    qa = pd.read_csv(paths["val"])
+    want = ex_eval.infer(ex_eval.val_data, 4, 12)
+    with ContinuousEngine(ex, ocr_df, obj_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=12) as eng:
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=600) for f in futs]
+    assert got == want
+
+
+def test_missing_step_k_fails_fast(latr):
+    """A model without a per-row-position step is rejected with a clear
+    error (serve.py surfaces it; the gathered-batch engine still serves)."""
+    _, ocr_df, _, _ = latr
+
+    class _NoStepK:
+        pass
+
+    class _FakeEx:
+        model = _NoStepK()
+
+    with pytest.raises(ValueError, match="decode_step_k"):
+        ContinuousEngine(_FakeEx(), ocr_df, num_slots=2, warmup=False)
 
 
 def test_hot_reload_swaps_real_weights_continuous(tmp_path):
