@@ -106,6 +106,7 @@ class ContinuousEngine:
         access_log=None,
         confidence: bool = False,
         cache_size: int = 0,
+        stall_timeout_s: float = 300.0,
     ):
         model = executor.model
         if not hasattr(type(model), "decode_step_k"):
@@ -140,6 +141,8 @@ class ContinuousEngine:
             maxsize=max_queue
         )
         self._stopped = False
+        self._unhealthy: Optional[str] = None
+        self._watchdog = StallWatchdog(stall_timeout_s, self._on_stall)
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._reload_lock = threading.Lock()  # serialize /reload + watcher
@@ -208,8 +211,12 @@ class ContinuousEngine:
         # EVERY admission (vs ~40 ms steady decode). One producer, one
         # layout, zero steady-state recompiles.
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def advance(params, state, full_bias, chunk_cache, chunk_mask, slots):
+        def advance(params, state, full_bias, chunk_cache, chunk_mask, slots,
+                    kill):
             st = dict(state)
+            # deadline-expired slots deactivate BEFORE the insert, so a slot
+            # expired and re-admitted in the same dispatch comes back live
+            st["active"] = st["active"] & ~kill
             for n in ("k", "v", "ck", "cv"):
                 st[n] = st[n].at[:, slots].set(chunk_cache[n])
             st["enc_mask"] = st["enc_mask"].at[slots].set(chunk_mask)
@@ -284,6 +291,8 @@ class ContinuousEngine:
         # dispatches with nothing to insert (slots = all-trash)
         self._dummy_chunk = None
         self._trash_slots = jnp.full((self.C,), self.S, jnp.int32)
+        self._no_kill = jnp.zeros((self.S + 1,), bool)
+        self._kill_pending: set = set()  # slot ids expired since last dispatch
 
     def _dummy_request(self) -> _Request:
         return _Request(next(iter(self._known_ids)), "")
@@ -329,7 +338,7 @@ class ContinuousEngine:
         state["active"] = jnp.zeros((S1,), bool)
         state, toks, _ = self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
-            self._trash_slots,
+            self._trash_slots, self._no_kill,
         )
         np.asarray(toks)  # host-materialize: block_until_ready is a no-op
         # on the remote backend (CLAUDE.md)
@@ -340,7 +349,7 @@ class ContinuousEngine:
         # warmup, not on the first real request.
         state, toks, _ = self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
-            self._trash_slots,
+            self._trash_slots, self._no_kill,
         )
         np.asarray(toks)
         self._state = state
@@ -358,6 +367,8 @@ class ContinuousEngine:
                 "base only)"
             )
         with self._lock:
+            if self._unhealthy is not None:
+                raise RuntimeError(f"engine unhealthy: {self._unhealthy}")
             if self._stopped:
                 raise RuntimeError("engine stopped")
         if self._id_dtype.kind in "if":
@@ -389,6 +400,8 @@ class ContinuousEngine:
         deadline = time.monotonic() + deadline_s if deadline_s else None
         req = _Request(image_id, question, deadline)
         with self._lock:
+            if self._unhealthy is not None:
+                raise RuntimeError(f"engine unhealthy: {self._unhealthy}")
             if self._stopped:
                 raise RuntimeError("engine stopped")
             try:
@@ -417,6 +430,7 @@ class ContinuousEngine:
                 "served": self._served,
                 "failed": self._failed,
                 "expired": self._expired,
+                "unhealthy": self._unhealthy,
                 "decode_dispatches": self._dispatches,
                 "reloads": self._reloads,
                 "cache_hits": self._cache_hits,
@@ -479,7 +493,7 @@ class ContinuousEngine:
             self._dummy_chunk = (cache, enc_mask)
             state, toks, _ = self._advance(
                 self._params, self._state, self._full_bias, cache, enc_mask,
-                self._trash_slots,
+                self._trash_slots, self._no_kill,
             )
             np.asarray(toks)
             self._state = state
@@ -489,19 +503,87 @@ class ContinuousEngine:
             self._reload_req = None
             ev.set()
 
+    @property
+    def unhealthy_reason(self) -> Optional[str]:
+        """Non-None once the stall watchdog (or a raising device dispatch)
+        declared the engine dead — ``/healthz`` turns 503."""
+        return self._unhealthy
+
     def stop(self):
+        """Drain and stop. ALWAYS returns: a worker stuck on a dead device
+        cannot be joined — once the watchdog declares the stall (or it
+        already has), the stuck daemon thread is abandoned."""
         with self._lock:
-            if self._stopped:
-                return
+            already = self._stopped
             self._stopped = True
-            self._queue.put(None)
-        self._worker.join()
+        if already and not self._worker.is_alive():
+            return
+        while self._worker.is_alive():
+            try:
+                self._queue.put_nowait(None)
+            except queue.Full:
+                pass  # worker drains it (or is stuck — watchdog decides)
+            self._worker.join(timeout=0.5)
+            if self._unhealthy:
+                self._worker.join(timeout=1.0)
+                if self._worker.is_alive():
+                    log.warning(
+                        "(!) stop(): abandoning worker stuck on a dead "
+                        "device (daemon thread)"
+                    )
+                break
+        self._watchdog.close()
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.stop()
+
+    # -- failure handling -----------------------------------------------------
+
+    def _on_stall(self, label: str, waited: float) -> None:
+        """Watchdog callback (monitor thread): the worker is stuck inside a
+        device call. Fail everything in flight so no client waits forever;
+        the worker, if it ever unblocks, sees _unhealthy and exits."""
+        self._fail_inflight(RuntimeError(
+            f"device stall: {label} blocked {waited:.0f}s (dead TPU tunnel?)"
+        ))
+
+    def _fail_inflight(self, exc: Exception) -> None:
+        """Mark unhealthy and resolve every in-flight/queued future with
+        ``exc``. Idempotent; callable from the watchdog monitor thread
+        (worker stuck) or the worker thread (device dispatch raised)."""
+        with self._lock:
+            if self._unhealthy is not None:
+                return
+            self._unhealthy = str(exc)
+            self._stopped = True
+        n = 0
+        for s in range(self.S):
+            req = self._slot_req[s]
+            if req is not None:
+                n += fail_future(req.future, exc)
+        for req in self._waiting:
+            n += fail_future(req.future, exc)
+        while True:  # queued but not yet drained by the worker
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                n += fail_future(item.future, exc)
+        rl = self._reload_req
+        if rl is not None:  # a reload caller is blocked on the barrier
+            ev, err = rl
+            err.append(RuntimeError(f"engine unhealthy: {exc}"))
+            ev.set()
+        with self._stats_lock:
+            self._failed += n
+        log.error(
+            f"(!!) engine unhealthy ({exc}) — failed {n} in-flight "
+            "request(s); submits now reject"
+        )
 
     # -- worker -------------------------------------------------------------------
 
@@ -574,7 +656,8 @@ class ContinuousEngine:
             # prefill dispatches async; the chunk is STAGED and scattered by
             # the next advance call (the fused program), so slot state only
             # ever has one producer
-            cache, _, enc_mask = self._prefill(self._params, mb)
+            with self._watchdog.guard("prefill dispatch"):
+                cache, _, enc_mask = self._prefill(self._params, mb)
             slots = [self._free.pop() for _ in range(take)]
             slot_ids = np.full((self.C,), self.S, np.int32)  # pad -> trash
             slot_ids[:take] = slots
@@ -638,9 +721,39 @@ class ContinuousEngine:
         self._slot_lps[s] = []
         self._free.append(s)
 
+    def _expire_slot(self, s: int) -> None:
+        """Deadline passed MID-DECODE: resolve the slotted request with
+        TimeoutError, free the slot, and queue its device deactivation for
+        the next dispatch (the kill mask)."""
+        req = self._slot_req[s]
+        self._live[s] = False
+        self._slot_req[s] = None
+        self._slot_toks[s] = []
+        self._slot_lps[s] = []
+        self._free.append(s)
+        self._kill_pending.add(s)
+        self._record(req, "expired", in_flight=True)
+        fail_future(
+            req.future, TimeoutError("deadline exceeded mid-decode")
+        )
+        with self._stats_lock:
+            self._expired += 1
+
     def _run(self):
+        try:
+            self._run_inner()
+        except Exception as e:
+            # a raising device dispatch (lost device, OOM, poisoned
+            # buffers): no retry story exists on a dead backend — fail
+            # everything in flight and flip unhealthy instead of silently
+            # hanging every client with a dead worker thread
+            self._fail_inflight(e)
+
+    def _run_inner(self):
         running = True
         while True:
+            if self._unhealthy is not None:
+                return  # _fail_inflight already resolved everything
             busy = any(self._slot_req) or self._waiting or self._staged
             if not running and not busy:
                 if self._reload_req is not None:  # fail a reload caught by stop
@@ -652,6 +765,14 @@ class ContinuousEngine:
             # block only when fully idle; otherwise just drain what's there
             if running:
                 running = self._drain_queue(block=not busy)
+            # mid-decode deadline enforcement at the dispatch boundary:
+            # expire BEFORE admission so a freed slot is immediately reusable
+            now = time.monotonic()
+            for s in range(self.S):
+                req = self._slot_req[s]
+                if (self._live[s] and req is not None and req.deadline
+                        and req.deadline < now):
+                    self._expire_slot(s)
             if self._reload_req is None:
                 self._admit()
             elif not any(self._slot_req) and not self._staged:
@@ -661,7 +782,7 @@ class ContinuousEngine:
             # else: admission paused; live slots keep draining below
             live = [s for s in range(self.S)
                     if self._live[s] and self._slot_req[s] is not None]
-            if not live and not self._staged:
+            if not live and not self._staged and not self._kill_pending:
                 continue
             # one fused dispatch: scatter at most one staged chunk, then run
             # a horizon of decode steps; the next iteration's
@@ -674,18 +795,29 @@ class ContinuousEngine:
             else:
                 chunk_cache, chunk_mask = self._dummy_chunk
                 slot_ids = self._trash_slots
-            self._state, toks, lps = self._advance(
-                self._params, self._state, self._full_bias,
-                chunk_cache, chunk_mask, slot_ids,
-            )
+            if self._kill_pending:
+                kill = np.zeros((self.S + 1,), bool)
+                kill[list(self._kill_pending)] = True
+                self._kill_pending.clear()
+                kill = jnp.asarray(kill)
+            else:
+                kill = self._no_kill
+            with self._watchdog.guard("decode dispatch"):
+                self._state, toks, lps = self._advance(
+                    self._params, self._state, self._full_bias,
+                    chunk_cache, chunk_mask, slot_ids, kill,
+                )
             live = [s for s in range(self.S)
                     if self._live[s] and self._slot_req[s] is not None]
             with self._stats_lock:
                 self._dispatches += 1
                 self._slot_steps += len(live) * self.horizon
                 self._total_steps += self.S * self.horizon
-            toks_np = np.asarray(toks)  # blocks until the horizon completes
-            lps_np = np.asarray(lps)
+            with self._watchdog.guard("decode materialize"):
+                toks_np = np.asarray(toks)  # blocks until the horizon completes
+                lps_np = np.asarray(lps)
+            if self._unhealthy is not None:
+                return  # stall fired while blocked; futures already failed
             for step in range(self.horizon):
                 for s in live:
                     req = self._slot_req[s]

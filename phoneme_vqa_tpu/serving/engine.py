@@ -35,6 +35,7 @@ from typing import List, Optional
 import pandas as pd
 
 from ..utils.logger import get_logger
+from .watchdog import StallWatchdog, fail_future
 
 log = get_logger(__name__)
 
@@ -151,6 +152,7 @@ class ServingEngine:
         adapters: Optional[dict] = None,
         buckets: Optional[list] = None,
         access_log=None,
+        stall_timeout_s: float = 300.0,
     ):
         self.executor = executor
         self.ocr_df = ocr_df
@@ -194,6 +196,16 @@ class ServingEngine:
         self.max_queue = max_queue
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self._stopped = False
+        self._unhealthy: Optional[str] = None
+        # device-stall watchdog: a dispatch or materialization blocking past
+        # stall_timeout_s fails every in-flight future, flips /healthz to
+        # 503 and keeps stop() returning (a dead TPU tunnel otherwise hangs
+        # np.asarray forever). Deadlines are additionally enforced at the
+        # batch boundary: a request whose deadline passed while its batch
+        # decoded resolves TimeoutError, not a late answer.
+        self._watchdog = StallWatchdog(stall_timeout_s, self._on_stall)
+        self._inflight_reqs: set = set()  # claimed by the dispatcher,
+        self._inflight_lock = threading.Lock()  # unresolved by the resolver
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
         # serializes every weight swap: the worker's _activate (adapter
@@ -332,7 +344,9 @@ class ServingEngine:
                 f"{sorted(self._adapters) or 'base only'})"
             )
         with self._lock:  # uniform admission: a stopped engine rejects
-            if self._stopped:  # everything, cached answers included
+            if self._unhealthy is not None:  # everything, cache included
+                raise RuntimeError(f"engine unhealthy: {self._unhealthy}")
+            if self._stopped:
                 raise RuntimeError("engine stopped")
         if self._id_dtype.kind in "if":
             try:
@@ -369,6 +383,8 @@ class ServingEngine:
         deadline = time.monotonic() + deadline_s if deadline_s else None
         req = _Request(image_id, question, deadline, adapter)
         with self._lock:  # pairs with stop(): no enqueue after the sentinel
+            if self._unhealthy is not None:
+                raise RuntimeError(f"engine unhealthy: {self._unhealthy}")
             if self._stopped:
                 raise RuntimeError("engine stopped")
             try:
@@ -397,6 +413,7 @@ class ServingEngine:
             return {
                 "served": self._served,
                 "failed": self._failed,
+                "unhealthy": self._unhealthy,
                 "batches": self._batches,
                 "cache_hits": self._cache_hits,
                 "reloads": self._reloads,
@@ -486,8 +503,11 @@ class ServingEngine:
                 self._active_adapter = None
             if self._enc_cache is not None:
                 # ViT weights may have changed with the base: drop the
-                # encoding table (flush serializes against an in-flight
-                # apply, so no stale insert can land after it)
+                # encoding table. flush() bumps the cache generation, which
+                # (a) blocks any in-flight encode from inserting pre-flush
+                # results and (b) makes the dispatcher re-featurize a batch
+                # caught between featurize and dispatch (see _run_inner) —
+                # no batch decodes old-weights encodings under new params.
                 self._enc_cache.flush()
         with self._stats_lock:
             self._cache.clear()
@@ -496,15 +516,73 @@ class ServingEngine:
         log.info(f"## hot-reloaded {loadtype}_ckp in {ms:.0f} ms")
         return {"reloaded": loadtype, "ms": round(ms, 1)}
 
+    @property
+    def unhealthy_reason(self) -> Optional[str]:
+        """Non-None once the stall watchdog (or a fatal device error)
+        declared the engine dead — ``/healthz`` turns 503."""
+        return self._unhealthy
+
     def stop(self):
-        """Drain outstanding requests, then stop both pipeline threads."""
+        """Drain outstanding requests, then stop both pipeline threads.
+        ALWAYS returns: threads stuck on a dead device cannot be joined —
+        once the watchdog declares the stall they are abandoned (daemons)."""
         with self._lock:
-            if self._stopped:
-                return
+            already = self._stopped
             self._stopped = True
-            self._queue.put(None)
-        self._worker.join()
-        self._resolver.join()
+        if already and not (self._worker.is_alive() or self._resolver.is_alive()):
+            return
+        while self._worker.is_alive() or self._resolver.is_alive():
+            try:
+                self._queue.put_nowait(None)
+            except queue.Full:
+                pass  # worker drains it (or is stuck — watchdog decides)
+            self._worker.join(timeout=0.5)
+            if not self._worker.is_alive():
+                self._resolver.join(timeout=0.5)
+            if self._unhealthy:
+                self._worker.join(timeout=1.0)
+                self._resolver.join(timeout=1.0)
+                if self._worker.is_alive() or self._resolver.is_alive():
+                    log.warning(
+                        "(!) stop(): abandoning pipeline thread(s) stuck on "
+                        "a dead device (daemon threads)"
+                    )
+                break
+        self._watchdog.close()
+
+    def _on_stall(self, label: str, waited: float) -> None:
+        self._fail_inflight(RuntimeError(
+            f"device stall: {label} blocked {waited:.0f}s (dead TPU tunnel?)"
+        ))
+
+    def _fail_inflight(self, exc: Exception) -> None:
+        """Mark unhealthy and fail every claimed-but-unresolved and queued
+        future with ``exc``. Idempotent; runs on the watchdog monitor
+        thread (pipeline threads stuck) or a pipeline thread (fatal error)."""
+        with self._lock:
+            if self._unhealthy is not None:
+                return
+            self._unhealthy = str(exc)
+            self._stopped = True
+        n = 0
+        with self._inflight_lock:
+            inflight = list(self._inflight_reqs)
+            self._inflight_reqs.clear()
+        for r in inflight:
+            n += fail_future(r.future, exc)
+        while True:  # queued but never claimed by the dispatcher
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                n += fail_future(item.future, exc)
+        with self._stats_lock:
+            self._failed += n
+        log.error(
+            f"(!!) engine unhealthy ({exc}) — failed {n} in-flight "
+            "request(s); submits now reject"
+        )
 
     def __enter__(self):
         return self
@@ -580,13 +658,20 @@ class ServingEngine:
         return ds
 
     def _run(self):
+        try:
+            self._run_inner()
+        except Exception as e:  # fatal dispatcher error (lost device, ...)
+            self._fail_inflight(e)
+            self._inflight.put(None)  # release the resolver
+
+    def _run_inner(self):
         """Dispatcher: gather -> featurize -> DISPATCH (async) -> hand off.
         Materialization happens on the resolver thread, so this loop is back
         to assembling the next batch while the device decodes the current
         one."""
         while True:
             reqs = self._collect()
-            if not reqs:
+            if not reqs or self._unhealthy is not None:
                 self._inflight.put(None)  # drain signal for the resolver
                 return
             # claim the futures: a future cancelled while queued is dropped
@@ -594,6 +679,8 @@ class ServingEngine:
             # resolutions below cannot raise InvalidStateError and kill the
             # worker thread
             reqs = [r for r in reqs if r.future.set_running_or_notify_cancel()]
+            with self._inflight_lock:  # visible to the stall handler
+                self._inflight_reqs.update(reqs)
             # shed expired requests BEFORE featurization/decode: device time
             # only goes to answers somebody is still waiting for
             now = time.monotonic()
@@ -601,10 +688,12 @@ class ServingEngine:
             reqs = [r for r in reqs if not (r.deadline and r.deadline < now)]
             for r in expired:  # record BEFORE resolving: a client observing
                 self._record(r, "expired")  # the resolution sees a complete log
-                r.future.set_exception(
-                    TimeoutError("deadline exceeded while queued")
+                fail_future(
+                    r.future, TimeoutError("deadline exceeded while queued")
                 )
             if expired:
+                with self._inflight_lock:
+                    self._inflight_reqs.difference_update(expired)
                 with self._stats_lock:
                     self._expired += len(expired)
             if not reqs:
@@ -623,7 +712,25 @@ class ServingEngine:
             for group in groups:
                 try:
                     self._activate(group[0].adapter)
+                    enc_gen = (
+                        self._enc_cache.generation
+                        if self._enc_cache is not None else None
+                    )
                     ds = self._featurize(group)
+                    # reload race: a hot reload landing between featurize and
+                    # dispatch swaps params AND flushes the encoding table —
+                    # this batch would decode old-weights encodings under new
+                    # params. Re-featurize until the generation is stable
+                    # (the residual window — a reload between this check and
+                    # infer_async's param snapshot — is a few instructions
+                    # and costs at most one batch of slightly-stale
+                    # encodings, never corrupted output shapes).
+                    while (
+                        self._enc_cache is not None
+                        and self._enc_cache.generation != enc_gen
+                    ):
+                        enc_gen = self._enc_cache.generation
+                        ds = self._featurize(group)
                     if len(ds) != len(group):
                         raise RuntimeError(
                             f"featurization dropped rows: {len(ds)} != {len(group)}"
@@ -636,10 +743,13 @@ class ServingEngine:
                     )
                     infer_async = getattr(self.executor, "infer_async", None)
                     if infer_async is not None:
-                        resolve = infer_async(
-                            ds, bucket, self.max_answer_length,
-                            return_scores=self.confidence,
-                        )
+                        # async dispatch still performs the H2D transfer —
+                        # the call that blocks on a dead tunnel
+                        with self._watchdog.guard("decode dispatch"):
+                            resolve = infer_async(
+                                ds, bucket, self.max_answer_length,
+                                return_scores=self.confidence,
+                            )
                     else:  # stub executors (tests) implement only infer:
                         # degrade to dispatch-time materialization
                         answers = self.executor.infer(
@@ -654,6 +764,12 @@ class ServingEngine:
             self._inflight.put((reqs, work))
 
     def _resolve_loop(self):
+        try:
+            self._resolve_loop_inner()
+        except Exception as e:  # fatal resolver error
+            self._fail_inflight(e)
+
+    def _resolve_loop_inner(self):
         """Resolver: materialize dispatched answers and complete futures."""
         while True:
             item = self._inflight.get()
@@ -668,7 +784,9 @@ class ServingEngine:
                 answers = None
                 if exc is None:
                     try:
-                        answers = resolve()
+                        # the materialization that hangs on a dead tunnel
+                        with self._watchdog.guard("decode materialize"):
+                            answers = resolve()
                         if self.confidence:
                             answers = [
                                 {"answer": a,
@@ -677,11 +795,15 @@ class ServingEngine:
                             ]
                     except Exception as e:
                         exc = e
+                if self._unhealthy is not None:
+                    return  # stall fired mid-wait; futures already failed
                 if exc is not None:  # resolve this group with the error
                     log.warning(f"serving batch of {len(group)} failed: {exc!r}")
                     for r in group:
                         self._record(r, "error", error=repr(exc))
-                        r.future.set_exception(exc)
+                        fail_future(r.future, exc)
+                    with self._inflight_lock:
+                        self._inflight_reqs.difference_update(group)
                     with self._stats_lock:
                         self._failed += len(group)
                         self._batches += 1
@@ -694,16 +816,33 @@ class ServingEngine:
             reqs = [r for r in reqs if r in answers_by_req]
             if not reqs:
                 continue
-            answers = [answers_by_req[r] for r in reqs]
             now = time.monotonic()
+            # batch-boundary deadline enforcement: a deadline that passed
+            # while the batch decoded resolves TimeoutError — the client
+            # stopped waiting; a late answer would be a lie
+            late = [r for r in reqs if r.deadline and r.deadline < now]
+            for r in late:
+                self._record(r, "expired", in_flight=True)
+                fail_future(
+                    r.future, TimeoutError("deadline exceeded mid-decode")
+                )
+            reqs = [r for r in reqs if not (r.deadline and r.deadline < now)]
+            answers = [answers_by_req[r] for r in reqs]
             for r, a in zip(reqs, answers):
                 text = a["answer"] if isinstance(a, dict) else a
                 self._record(
                     r, "ok", bucket=bucket_by_req[r], answer_chars=len(text)
                 )
-                r.future.set_result(a)
+                try:
+                    r.future.set_result(a)
+                except Exception:  # lost a race with the stall handler
+                    pass
+            with self._inflight_lock:
+                self._inflight_reqs.difference_update(reqs)
+                self._inflight_reqs.difference_update(late)
             with self._stats_lock:
                 self._served += len(reqs)
+                self._expired += len(late)
                 self._batches += n_ok_groups
                 for b in buckets_used:
                     self._bucket_batches[b] = self._bucket_batches.get(b, 0) + 1
@@ -712,7 +851,10 @@ class ServingEngine:
                 )
                 del self._latencies_ms[:-10000]
                 if self._cache_size:
-                    for r, a in zip(reqs, answers):
-                        self._cache[(r.image_id, r.question, r.adapter)] = a
+                    # late answers are still valid model outputs — cache them
+                    for r in reqs + late:
+                        self._cache[
+                            (r.image_id, r.question, r.adapter)
+                        ] = answers_by_req[r]
                     while len(self._cache) > self._cache_size:
                         self._cache.pop(next(iter(self._cache)))

@@ -266,7 +266,11 @@ def make_http_server(engine, port: int):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True})
+                reason = getattr(engine, "unhealthy_reason", None)
+                if reason:  # stall watchdog fired: dead device behind us
+                    self._send(503, {"ok": False, "reason": reason})
+                else:
+                    self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, engine.stats())
             elif self.path == "/metrics":
