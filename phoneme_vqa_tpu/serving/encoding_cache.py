@@ -23,9 +23,13 @@ and the cache refuses to build when any serving LoRA adapter targets the ViT
 supported LaTr-family shape — leave the ViT subtree untouched).
 
 Thread model: ``apply`` runs on the engine's single worker thread; ``flush``
-on HTTP/watcher threads during reload. One lock spans the whole
-miss-encode-and-insert so a flush can never be overtaken by a stale insert
-(the poisoned-weights class of race fixed once already in ``engine.reload``).
+and ``stats`` on HTTP/watcher threads. The lock protects only table/counter
+STATE — the device encode of a cold batch runs outside it (so /stats and a
+reload's flush never block for an encode), and inserts re-check a
+``generation`` counter bumped by every flush: encodings computed under
+pre-flush weights can never land in the post-flush table. The engine
+re-checks the same counter at dispatch time to keep a whole batch's
+encodings and params consistent.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ class EncodingCache:
         self._hits = 0
         self._misses = 0
         self._lock = threading.Lock()
+        self._generation = 0  # bumped by flush(); guards stale inserts
 
     # -- construction gate ------------------------------------------------------
 
@@ -105,30 +110,53 @@ class EncodingCache:
                 f"featurization dropped rows: {len(ds)} != {len(image_ids)}"
             )
         ids = [str(i) for i in image_ids]
-        with self._lock:
-            first_row = {}
-            for row, i in enumerate(ids):
-                if i not in self._table and i not in first_row:
-                    first_row[i] = row
-            if first_row:
-                self._encode_missing(ds, first_row)
-            out = []
-            for i in ids:
-                self._table.move_to_end(i)  # LRU touch
-                out.append(self._table[i])
-            self._hits += len(ids) - len(first_row)
-            self._misses += len(first_row)
-            enc = np.stack(out)
-            while self._bytes > self.max_bytes and len(self._table) > 1:
-                _, old = self._table.popitem(last=False)
-                self._bytes -= old.nbytes
+        fresh: dict = {}  # this call's own encodes (served even if a flush
+        n_missing = None  # landed mid-encode; never inserted stale)
+        while True:
+            with self._lock:
+                gen = self._generation
+                need = {}
+                for row, i in enumerate(ids):
+                    if i not in self._table and i not in fresh and i not in need:
+                        need[i] = row
+                if n_missing is None:
+                    n_missing = len(need)
+                if not need:
+                    out = []
+                    for i in ids:
+                        if i in self._table:
+                            self._table.move_to_end(i)  # LRU touch
+                            out.append(self._table[i])
+                        else:  # flushed mid-encode: serve this call's copy
+                            out.append(fresh[i])
+                    self._hits += len(ids) - n_missing
+                    self._misses += n_missing
+                    while self._bytes > self.max_bytes and len(self._table) > 1:
+                        _, old = self._table.popitem(last=False)
+                        self._bytes -= old.nbytes
+                    enc = np.stack(out)
+                    break
+            # device encode OUTSIDE the lock: stats()/flush() (HTTP and
+            # reload threads) stay responsive during a cold-batch encode
+            new = self._encode_missing(ds, need)
+            with self._lock:
+                if self._generation == gen:  # no flush since `need` was read
+                    for i, e in new.items():
+                        if i not in self._table:
+                            self._table[i] = e
+                            self._bytes += e.nbytes
+                # else: computed under pre-flush weights — do NOT insert;
+                # serve them to this batch only (the engine's dispatch-time
+                # generation check re-featurizes it under the new weights)
+            fresh.update(new)
         del ds.lazy_fields["pixel_values"]
         ds.arrays = dict(ds.arrays, vit_encodings=enc)
 
-    def _encode_missing(self, ds, first_row: dict) -> None:
+    def _encode_missing(self, ds, first_row: dict) -> dict:
         """Encode each missing image once, in fixed ``chunk``-row calls
         (short chunk padded by repeating its last row — one executable for
-        every miss count)."""
+        every miss count). Returns {image_id: encoding}; the caller inserts
+        under the lock."""
         rows = np.fromiter(first_row.values(), dtype=np.int64)
         pixels = ds.lazy_fields["pixel_values"](rows)
         params = self.executor._inference_params()
@@ -141,21 +169,28 @@ class EncodingCache:
                     [pix, np.repeat(pix[-1:], self.chunk - n_valid, axis=0)]
                 )
             encs.append(np.asarray(self._encode(params, pix))[:n_valid])
-        encs = np.concatenate(encs)
-        for i, enc in zip(first_row, encs):
-            self._table[i] = enc
-            self._bytes += enc.nbytes
+        return dict(zip(first_row, np.concatenate(encs)))
 
     # -- lifecycle ------------------------------------------------------------
 
+    @property
+    def generation(self) -> int:
+        """Bumped by every flush. The engine snapshots it before featurizing
+        a batch and re-checks before dispatch: a mismatch means a reload
+        landed in between and the batch must re-featurize, or it would decode
+        old-weights encodings under new params."""
+        with self._lock:
+            return self._generation
+
     def flush(self) -> None:
-        """Drop every entry (weights changed — encodings are stale). Holds
-        the same lock as ``apply``, so an in-flight apply completes (and its
-        possibly-stale inserts are cleared here) before the flush returns."""
+        """Drop every entry (weights changed — encodings are stale) and bump
+        the generation so an encode in flight on the worker thread can no
+        longer insert its pre-flush results."""
         with self._lock:
             n = len(self._table)
             self._table.clear()
             self._bytes = 0
+            self._generation += 1
         if n:
             log.info(f"# serving VIT_CACHE flushed ({n} entries)")
 

@@ -650,6 +650,31 @@ class BaseExecutor:
         )
         return lora.freeze_base_predicate
 
+    def _freeze_predicate(self):
+        """The `build_optimizer` freeze predicate composing LoRA with the
+        model's structural ViT freeze.
+
+        The reference freezes its ViT with ``requires_grad=False``
+        (`/root/reference/core/model/LaTr.py:54-56`): torch optimizers then
+        never touch those params at all. Our ``freeze_vit`` models only
+        stop_gradient the ViT output — gradients are zero, but a DECOUPLED
+        weight-decay rule (OPTIMIZER: adamw / WEIGHT_DECAY > 0, adafactor's
+        weight_decay_rate) decays every param regardless of its gradient,
+        silently drifting the "frozen" ViT (and staling VIT_CACHE's
+        encodings). Masking the whole vit subtree to optax.set_to_zero
+        restores the reference semantics under ANY update rule — and
+        allocates no optimizer state for the ViT as a bonus."""
+        lora_pred = self._maybe_enable_lora()
+        if lora_pred is not None:
+            return lora_pred  # LoRA already freezes the entire base tree
+        if not getattr(self.model_config, "freeze_vit", False):
+            return None
+
+        def frozen(path) -> bool:
+            return bool(path) and getattr(path[0], "key", str(path[0])) == "vit"
+
+        return frozen
+
     def _resolve_params(self, params):
         """LoRA composite -> merged full params (identity otherwise). Called
         inside jit (train/val loss) and before the bf16 inference cast; the
@@ -1030,7 +1055,10 @@ class BaseExecutor:
 
         * eval/predict: always (weights are static after the restore)
         * train: only when the model config freezes the ViT structurally
-          (the LaTr family) AND no LoRA adapters target it
+          (the LaTr family) AND no LoRA adapters target it. Structural
+          freeze means the optimizer masks the vit subtree to set_to_zero
+          (`_freeze_predicate`), so no update rule — decoupled weight decay
+          included — can drift the weights under the cache.
 
         Idempotent per dataset; multi-host runs precompute on every host
         (duplicate work, never wrong — each host gathers from its own table).

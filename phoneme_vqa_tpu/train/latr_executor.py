@@ -228,7 +228,7 @@ class LaTrExecutor(BaseExecutor):
         self.tx = build_optimizer(
             schedule, betas=tuple(c.BETAS), mu_dtype=mu_dtype_from_config(c),
             kind=optimizer_kind_from_config(c),
-            freeze_predicate=self._maybe_enable_lora(),
+            freeze_predicate=self._freeze_predicate(),
             **optimizer_extras_from_config(c),
         )
         self.state = TrainState.create(

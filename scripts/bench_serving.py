@@ -231,15 +231,18 @@ def main():
         }, indent=2))
         return
 
+    # validate --rates BEFORE the expensive engine build + flood probe
+    fixed = [float(x) for x in args.rates.split(",") if x] or None
+    if fixed and len(fixed) not in (3, 4):
+        p.error("--rates wants 3 or 4 comma-separated req/s values")
     eng, ids = build_engine(
         args.work, args.batch, continuous=args.continuous,
         horizon=args.horizon, prefill_chunk=args.prefill_chunk,
         vit_cache=args.vit_cache,
     )
-    cap = flood_capacity(eng, ids)
-    fixed = [float(x) for x in args.rates.split(",") if x] or None
-    if fixed and len(fixed) not in (3, 4):
-        p.error("--rates wants 3 or 4 comma-separated req/s values")
+    # with all four rates pinned the flood probe only feeds the report —
+    # skip the (expensive) probe and report null instead
+    cap = None if fixed and len(fixed) == 4 else flood_capacity(eng, ids)
 
     runs = []
     cells = ((0.5, "under"), (0.9, "near"), (1.5, "over"))
@@ -277,7 +280,9 @@ def main():
         "engine": "continuous" if args.continuous else "gathered",
         "batch": args.batch,
         "vit_cache": bool(args.vit_cache),
-        "flood_capacity_answers_per_sec": round(cap, 1),
+        "flood_capacity_answers_per_sec": (
+            round(cap, 1) if cap is not None else None
+        ),
         "runs": runs,
     }, indent=2))
 

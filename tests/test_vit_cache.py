@@ -156,6 +156,38 @@ def test_latr_train_and_eval_identical_with_cache(tmp_path):
         )
 
 
+def test_frozen_vit_immune_to_weight_decay(tmp_path):
+    """The reference freezes its ViT with requires_grad=False
+    (LaTr.py:54-56): no optimizer rule ever touches it. stop_gradient alone
+    does NOT reproduce that under decoupled weight decay (adamw decays every
+    param regardless of gradient) — the optimizer must mask the vit subtree
+    (BaseExecutor._freeze_predicate), or the 'frozen' weights drift and
+    VIT_CACHE's train-mode encodings go silently stale."""
+    paths = make_latr_fixture(tmp_path)
+    cfg = get_config(tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        OPTIMIZER="adamw", WEIGHT_DECAY=0.1,
+    ))
+    ex = EXECUTORS.get(cfg.EXECUTOR)(cfg, mode="train")
+    # materialize BEFORE training: the donated train step deletes the
+    # original buffers
+    vit_before = jax.tree.map(np.asarray, ex.state.params["vit"])
+    t5_before = jax.tree.map(np.asarray, ex.state.params["t5"])
+    ex._train_epoch(1)
+    vit_after = jax.tree.map(np.asarray, ex.state.params["vit"])
+    for a, b in zip(jax.tree.leaves(vit_before), jax.tree.leaves(vit_after)):
+        np.testing.assert_array_equal(a, b)  # bit-identical: truly frozen
+    # ... while the trainable rest actually moved
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(t5_before),
+            jax.tree.leaves(ex.state.params["t5"]),
+        )
+    )
+    assert moved
+
+
 @pytest.mark.slow
 def test_prestu_train_mode_refuses_cache(tmp_path, caplog):
     """PreSTU trains its ViT (the reference freezes only the LaTr family) —
