@@ -171,3 +171,75 @@ def test_cached_step_decode_matches_torch_greedy(pair):
         stop = np.where(w == eos)[0]
         end = (stop[0] + 1) if len(stop) else max_len
         np.testing.assert_array_equal(got[b, :end], w[:end])
+
+
+def test_step_k_matches_teacher_forced_forward():
+    """The per-row-position window step (continuous batching) reproduces the
+    teacher-forced forward exactly: K=1 steps and K=2 windows at staggered
+    per-row positions tile the same causal attention."""
+    rng = np.random.RandomState(7)
+    cfg = CustomDecoderConfig(
+        vocab_size=V, d_model=D, num_heads=H, num_layers=LAYERS, d_ff=FF,
+        dtype=jnp.float32,
+    )
+    dec = CustomDecoder(cfg)
+    memory = jnp.asarray(rng.standard_normal((B, 5, D)), jnp.float32)
+    mem_keep = jnp.asarray(rng.rand(B, 5) > 0.2)
+    ids = jnp.asarray(rng.randint(0, V, (B, T)), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), ids, memory)
+    ref = np.asarray(dec.apply(params, ids, memory, mem_keep))
+
+    for kk in (1, 2):
+        cache = dec.apply(params, memory, T + 1, method=CustomDecoder.init_cache)
+        pos = jnp.zeros((B,), jnp.int32)
+        got = np.zeros_like(ref)
+        for t in range(0, T - T % kk, kk):
+            logits, cache = dec.apply(
+                params, ids[:, t : t + kk], cache, pos, mem_keep,
+                method=CustomDecoder.step_k,
+            )
+            got[:, t : t + kk] = np.asarray(logits)
+            pos = pos + kk
+        end = T - T % kk
+        np.testing.assert_allclose(got[:, :end], ref[:, :end], atol=2e-4)
+
+
+def test_phoneme_triple_step_k_matches_forward():
+    """Same tiling property for the triple-head decoder (the continuous
+    engine's phoneme decode path)."""
+    from phoneme_vqa_tpu.models.phoneme import (
+        PhonemeDecoderConfig,
+        PhonemeTripleDecoder,
+    )
+
+    rng = np.random.RandomState(11)
+    cfg = PhonemeDecoderConfig(
+        onset_vocab=11, rhyme_vocab=13, tone_vocab=7, d_model=D, num_heads=H,
+        num_layers=LAYERS, d_ff=FF, dtype=jnp.float32,
+    )
+    dec = PhonemeTripleDecoder(cfg)
+    memory = jnp.asarray(rng.standard_normal((B, 5, D)), jnp.float32)
+    mem_keep = jnp.asarray(rng.rand(B, 5) > 0.2)
+    triples = jnp.stack(
+        [
+            jnp.asarray(rng.randint(0, v, (B, T)), jnp.int32)
+            for v in (11, 13, 7)
+        ],
+        axis=-1,
+    )
+    params = dec.init(jax.random.PRNGKey(1), triples, memory)
+    ref = [np.asarray(h) for h in dec.apply(params, triples, memory, mem_keep)]
+
+    cache = dec.apply(params, memory, T + 1, method=PhonemeTripleDecoder.init_cache)
+    pos = jnp.zeros((B,), jnp.int32)
+    got = [np.zeros_like(r) for r in ref]
+    for t in range(T):
+        heads, cache = dec.apply(
+            params, triples[:, t : t + 1], cache, pos, mem_keep,
+            method=PhonemeTripleDecoder.step_k,
+        )
+        for c in range(3):
+            got[c][:, t] = np.asarray(heads[c][:, 0])
+        pos = pos + 1
+    for c in range(3):
+        np.testing.assert_allclose(got[c], ref[c], atol=2e-4)
