@@ -17,6 +17,7 @@ wall-clock and samples/sec are logged (the reference logs loss only).
 
 from __future__ import annotations
 
+import functools
 import itertools
 import json
 import os
@@ -1002,6 +1003,10 @@ class BaseExecutor:
         pipelining) with this decode, materializing later."""
         from ..data.loader import batch_iterator
 
+        if self._use_pool_decode(batch_size):
+            return self._infer_pool_async(
+                dataset, batch_size, max_length, return_scores
+            )
         generate = self._get_generate_fn(max_length, with_scores=return_scores)
         params = self._inference_params()
         pending: List = []
@@ -1014,6 +1019,157 @@ class BaseExecutor:
         for batch, n_valid in batches:
             out = generate(params, self._shard(self._model_batch(batch)))
             pending.append((out, n_valid))
+
+        def resolve():
+            out_rows: List = []
+            out_scores: List = []
+            for out, n_valid in pending:
+                ids = out[0] if return_scores else out
+                out_rows.extend(np.asarray(ids)[:n_valid].tolist())
+                if return_scores:
+                    out_scores.extend(
+                        np.asarray(out[1], np.float64)[:n_valid].tolist()
+                    )
+            answers = self._decode_rows(out_rows)
+            if return_scores:
+                return answers, out_scores
+            return answers
+
+        return resolve
+
+    # -- slot-refill offline decode (EVAL_CONTINUOUS) ------------------------------
+
+    def _use_pool_decode(self, batch_size: int = 0) -> bool:
+        """``EVAL_CONTINUOUS: true`` routes offline infer through the
+        slot-refill pool decode (`decode/pool.py`) — same answers, fewer
+        decode steps on variable-length answers. Greedy-only (SAMPLE /
+        SPEC_DECODE / beam configs keep the batch path). A data-parallel
+        mesh that would actually shard the eval batch keeps the sharded
+        batch decode (the pool program is not sharding-annotated); when the
+        batch path would fall back to replicated anyway (odd batch size, or
+        mesh of 1) the pool decode loses nothing."""
+        c = self.config
+        if not c.get("EVAL_CONTINUOUS"):
+            return False
+        from ..parallel.mesh import DATA_AXIS, mesh_size
+
+        reason = None
+        if c.get("SAMPLE") or int(c.get("SPEC_DECODE", 0) or 0) > 1:
+            reason = "SAMPLE/SPEC_DECODE configs use the batch decode"
+        elif not (c.get("isgreedy", True) or c.get("num_beam", 1) <= 1):
+            reason = "beam search uses the batch decode"
+        elif not hasattr(type(self.model), "decode_step_k"):
+            reason = f"{type(self.model).__name__} has no decode_step_k"
+        elif (
+            self.mesh is not None
+            and mesh_size(self.mesh) > 1
+            and batch_size > 0
+            and batch_size % int(self.mesh.shape[DATA_AXIS]) == 0
+        ):
+            reason = "data-parallel mesh evals via the sharded batch decode"
+        if reason is not None:
+            if not getattr(self, "_warned_pool", False):
+                log.warning(f"(!) EVAL_CONTINUOUS ignored: {reason}")
+                self._warned_pool = True
+            return False
+        return True
+
+    def _get_pool_fns(self, max_length: int):
+        key = ("pool", max_length)
+        if key in self._generate_fns:
+            return self._generate_fns[key]
+        from ..decode.pool import pool_greedy_decode
+
+        model = self.model
+        ncomp = int(getattr(type(model), "decode_components", 1))
+        ids = getattr(model, "decode_token_ids", None)
+        if ids is None:  # stock T5 families: the backbone vocabulary's ids
+            t5c = model.cfg.t5
+            ids = (t5c.decoder_start_token_id, t5c.eos_token_id,
+                   t5c.pad_token_id)
+        bos, eos, pad = (int(i) for i in ids)
+
+        encode = jax.jit(
+            lambda params, mb: model.apply(
+                {"params": params}, mb, max_length,
+                method=type(model).encode_for_generate,
+            )
+        )
+
+        @functools.partial(jax.jit, static_argnames=("num_slots", "scores"))
+        def decode(params, pool_cache, pool_mask, full_bias, num_slots,
+                   scores):
+            def step_k(tokens, cache, pos, enc_mask):
+                return model.apply(
+                    {"params": params}, tokens, cache, pos, full_bias,
+                    enc_mask, method=type(model).decode_step_k,
+                )
+
+            return pool_greedy_decode(
+                step_k, pool_cache, pool_mask, num_slots, max_length,
+                bos, eos, pad, num_components=ncomp, with_scores=scores,
+            )
+
+        fns = (encode, decode)
+        self._generate_fns[key] = fns
+        return fns
+
+    def _infer_pool_async(
+        self, dataset, batch_size: int, max_length: int,
+        return_scores: bool = False,
+    ):
+        """`infer_async` through the slot-refill pool decode: rows are
+        prefilled per batch (same encoder work as the batch path), their
+        caches stay device-resident as pool chunks of ``EVAL_POOL_ROWS``,
+        and each chunk decodes in ONE compiled while_loop with
+        ``EVAL_SLOTS`` refilling slots (decode/pool.py has the design)."""
+        from ..data.loader import batch_iterator
+
+        encode, decode = self._get_pool_fns(max_length)
+        params = self._inference_params()
+        num_slots = int(self.config.get("EVAL_SLOTS", 0) or batch_size)
+        pool_max = int(self.config.get("EVAL_POOL_ROWS", 128))
+        pool_max = max(pool_max, batch_size)
+
+        pending: List = []
+        caches: List = []
+        masks: List = []
+        pooled = 0
+        full_bias = None
+
+        def flush():
+            nonlocal caches, masks, pooled
+            if not pooled:
+                return
+            if len(caches) == 1:
+                pc, pm = caches[0], masks[0]
+            else:
+                pc = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=1), *caches
+                )
+                pm = jnp.concatenate(masks, axis=0)
+            out = decode(params, pc, pm, full_bias,
+                         num_slots=num_slots, scores=return_scores)
+            pending.append((out, pooled))
+            caches, masks, pooled = [], [], 0
+
+        batches = self._maybe_prefetch(
+            batch_iterator(dataset, batch_size, pad_final=True)
+        )
+        for batch, n_valid in batches:
+            cache, full_bias, enc_mask = encode(params, self._model_batch(batch))
+            if n_valid != enc_mask.shape[0]:  # final padded batch: drop pads
+                cache = {
+                    n: jax.lax.slice_in_dim(cache[n], 0, n_valid, axis=1)
+                    for n in cache
+                }
+                enc_mask = enc_mask[:n_valid]
+            caches.append(cache)
+            masks.append(enc_mask)
+            pooled += n_valid
+            if pooled >= pool_max:
+                flush()
+        flush()
 
         def resolve():
             out_rows: List = []
