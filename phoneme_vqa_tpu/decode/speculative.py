@@ -33,15 +33,47 @@ StepKFn = Callable[[jnp.ndarray, object, jnp.ndarray], Tuple[jnp.ndarray, object
 DraftFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def draft_from_pair(
+    src: jnp.ndarray,        # (B, Ls) int32 source corpus
+    valid: jnp.ndarray,      # (B, Ls) bool — 1 = real token
+    cur: jnp.ndarray,        # (B,) current (last verified) token
+    prev: jnp.ndarray,       # (B,) token before it
+    have_prev: jnp.ndarray,  # (B,) bool — prev is meaningful (pos > 0)
+    num_draft: int,
+    pad_id: int,
+) -> jnp.ndarray:
+    """Draft the `num_draft` tokens that FOLLOW the source's first occurrence
+    of the current n-gram: bigram (prev, cur) match when one exists, else
+    unigram (cur). No match -> pad drafts (they verify-fail harmlessly).
+
+    This is the draft core shared by the offline speculative loop (which
+    reads cur/prev from its output buffer) and the continuous serving
+    engine's per-slot speculative step (which carries cur/prev in slot
+    state, since its slots have no output buffer on device)."""
+    ls = src.shape[1]
+    m1 = (src == cur[:, None]) & valid
+    src_prev = jnp.pad(src[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    m2 = m1 & (src_prev == prev[:, None]) & have_prev[:, None]
+    use2 = jnp.any(m2, axis=1)
+    m = jnp.where(use2[:, None], m2, m1)
+    has = jnp.any(m, axis=1)
+    first = jnp.argmax(m, axis=1)  # first match position
+    cont_pos = first[:, None] + 1 + jnp.arange(num_draft)[None, :]
+    cont = jnp.take_along_axis(src, jnp.minimum(cont_pos, ls - 1), axis=1)
+    ok = has[:, None] & (cont_pos < ls)
+    ok = ok & jnp.take_along_axis(
+        valid, jnp.minimum(cont_pos, ls - 1), axis=1
+    )
+    return jnp.where(ok, cont, pad_id).astype(jnp.int32)
+
+
 def make_prompt_lookup_draft(
     source_ids: jnp.ndarray,  # (B, Ls) int32 — e.g. tokenized_ocr ++ question
     num_draft: int,
     pad_id: int,
     source_mask: jnp.ndarray = None,  # (B, Ls) 1 = real token
 ) -> DraftFn:
-    """Draft the `num_draft` tokens that FOLLOW the source's first occurrence
-    of the current n-gram: bigram (prev, cur) match when one exists, else
-    unigram (cur). No match -> pad drafts (they verify-fail harmlessly)."""
+    """`draft_from_pair` reading (prev, cur) from the decode output buffer."""
     src = source_ids.astype(jnp.int32)
     b, ls = src.shape
     valid = (
@@ -53,23 +85,9 @@ def make_prompt_lookup_draft(
         cur = jnp.take_along_axis(out, pos[:, None], axis=1)[:, 0]  # (B,)
         prev_pos = jnp.maximum(pos - 1, 0)
         prev = jnp.take_along_axis(out, prev_pos[:, None], axis=1)[:, 0]
-        m1 = (src == cur[:, None]) & valid
-        src_prev = jnp.pad(src[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-        m2 = m1 & (src_prev == prev[:, None]) & (pos > 0)[:, None]
-        use2 = jnp.any(m2, axis=1)
-        m = jnp.where(use2[:, None], m2, m1)
-        has = jnp.any(m, axis=1)
-        first = jnp.argmax(m, axis=1)  # first match position
-        cont_pos = first[:, None] + 1 + jnp.arange(num_draft)[None, :]
-        cont = jnp.take_along_axis(
-            src, jnp.minimum(cont_pos, ls - 1), axis=1
+        return draft_from_pair(
+            src, valid, cur, prev, pos > 0, num_draft, pad_id
         )
-        in_range = cont_pos < ls
-        ok = has[:, None] & in_range
-        ok = ok & jnp.take_along_axis(
-            valid, jnp.minimum(cont_pos, ls - 1), axis=1
-        )
-        return jnp.where(ok, cont, pad_id).astype(jnp.int32)
 
     return draft
 

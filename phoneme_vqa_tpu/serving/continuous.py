@@ -64,6 +64,13 @@ from .watchdog import StallWatchdog, fail_future
 
 log = get_logger(__name__)
 
+#: (ids key, mask key) pairs the per-slot speculative draft corpus is built
+#: from (same list as models/generate.py's offline SPEC_DECODE)
+_SPEC_SOURCES = (
+    ("tokenized_ocr", "ocr_attention_mask"),
+    ("input_ids", "src_attention_mask"),
+)
+
 
 class ContinuousEngine:
     """Slot-based continuously-batched serving over an executor's model.
@@ -82,6 +89,12 @@ class ContinuousEngine:
         per-dispatch overhead).
     max_answer_length: decode length cap (same meaning as executor.infer).
     max_queue: -1 auto (4 x num_slots), 0 unbounded, >0 explicit bound.
+    spec_k: >1 turns on per-slot SPECULATIVE decoding: every slot verifies
+        a spec_k-token prompt-lookup draft window per device step (drafts
+        from the request's OCR ++ question ids, `decode/speculative.py`).
+        Answers are token-identical to spec_k=0 by the exactness invariant;
+        throughput scales with the draft accept rate (answers that copy
+        source text). Stock-T5-decoder families only.
     stall_timeout_s: device-stall watchdog — a single decode dispatch (or
         prefill) blocking longer than this fails every in-flight future,
         marks the engine unhealthy (stats()["unhealthy"], /healthz 503) and
@@ -107,6 +120,7 @@ class ContinuousEngine:
         confidence: bool = False,
         cache_size: int = 0,
         stall_timeout_s: float = 300.0,
+        spec_k: int = 0,
     ):
         model = executor.model
         if not hasattr(type(model), "decode_step_k"):
@@ -155,6 +169,8 @@ class ContinuousEngine:
         self._latencies_ms: list = []
         self._slot_steps = 0  # slot-steps decoded (occupancy numerator)
         self._total_steps = 0  # S x steps (occupancy denominator)
+        self._spec_tokens = 0  # tokens emitted by speculative acceptance
+        self._spec_steps = 0  # device steps a live slot actually consumed
 
         # components per decode step (1 = token stream, 3 = phoneme triples)
         self._ncomp = int(getattr(type(model), "decode_components", 1))
@@ -163,6 +179,35 @@ class ContinuousEngine:
             t5c = model.cfg.t5
             ids = (t5c.decoder_start_token_id, t5c.eos_token_id, t5c.pad_token_id)
         self._bos, self._eos, self._pad = (int(i) for i in ids)
+
+        from .encoding_cache import EncodingCache
+
+        # frozen-ViT encoding table (VIT_CACHE in serve mode): built BEFORE
+        # warmup so the compiled prefill takes the vit_encodings input —
+        # with the cache on, every chunk rides that one program shape
+        self._enc_cache = EncodingCache.maybe_build(executor)
+
+        # SPEC_K > 1: per-slot speculative decoding — each slot verifies a
+        # K-token prompt-lookup draft window per device step (decode/
+        # speculative.py's exactness invariant holds per slot: drafts only
+        # change how many steps an answer takes, never its tokens)
+        self.spec_k = int(spec_k or 0)
+        if self.spec_k > 1:
+            why = None
+            if self._ncomp != 1:
+                why = "component-tuple streams decode one triple per step"
+            elif not getattr(type(model), "spec_decode_supported", False):
+                why = (
+                    "drafts are backbone-vocab ids, vocabulary-mismatched "
+                    "with the pluggable answer tokenizer"
+                )
+            elif self._chunk_src(
+                self._chunk_batch([self._dummy_request()])
+            ) is None:
+                why = "featurized batch carries no draft source ids"
+            if why is not None:
+                log.warning(f"(!) continuous spec_k={spec_k} ignored: {why}")
+                self.spec_k = 0
 
         self._params = executor._inference_params()
         self._build_compiled()
@@ -176,13 +221,7 @@ class ContinuousEngine:
         self._live: List[bool] = [False] * self.S
         self._free = list(range(self.S))
         self._waiting: List[_Request] = []
-        self._staged: List[tuple] = []  # (chunk_cache, chunk_mask, slot_ids)
-        from .encoding_cache import EncodingCache
-
-        # frozen-ViT encoding table (VIT_CACHE in serve mode): built BEFORE
-        # warmup so the compiled prefill takes the vit_encodings input —
-        # with the cache on, every chunk rides that one program shape
-        self._enc_cache = EncodingCache.maybe_build(executor)
+        self._staged: List[tuple] = []  # (chunk_cache, chunk_mask, src, valid, slot_ids)
         if warmup:
             self._warmup()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -210,9 +249,11 @@ class ContinuousEngine:
         # measured here as a ~0.4-4 s executable re-specialization after
         # EVERY admission (vs ~40 ms steady decode). One producer, one
         # layout, zero steady-state recompiles.
+        spec = self.spec_k  # 0/1 = plain one-token steps
+
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def advance(params, state, full_bias, chunk_cache, chunk_mask, slots,
-                    kill):
+        def advance(params, state, full_bias, chunk_cache, chunk_mask,
+                    chunk_src, chunk_valid, slots, kill):
             st = dict(state)
             # deadline-expired slots deactivate BEFORE the insert, so a slot
             # expired and re-admitted in the same dispatch comes back live
@@ -222,10 +263,77 @@ class ContinuousEngine:
             st["enc_mask"] = st["enc_mask"].at[slots].set(chunk_mask)
             st["pos"] = st["pos"].at[slots].set(0)
             st["cur"] = st["cur"].at[slots].set(self._bos)
+            if spec > 1:
+                st["src"] = st["src"].at[slots].set(chunk_src)
+                st["valid"] = st["valid"].at[slots].set(chunk_valid)
+                st["prev"] = st["prev"].at[slots].set(self._bos)
             active = st["active"].at[slots].set(True)
             st["active"] = active.at[self.S].set(False)  # trash never decodes
 
             ncomp = self._ncomp
+
+            def spec_body(st, _):
+                # per-slot speculative step (`decode/speculative.py` body at
+                # per-slot state): draft K-1 continuations from the slot's
+                # source ids, verify the window in ONE decode_step_k, accept
+                # the longest matching prefix — 1..K tokens per device step.
+                from ..decode.speculative import draft_from_pair
+
+                cache = {n: st[n] for n in ("k", "v", "ck", "cv")}
+                drafts = draft_from_pair(
+                    st["src"], st["valid"], st["cur"], st["prev"],
+                    st["pos"] > 0, spec - 1, pad,
+                )
+                window = jnp.concatenate(
+                    [st["cur"][:, None], drafts], axis=1
+                )  # (S+1, K)
+                logits, cache = model.apply(
+                    {"params": params}, window, cache, st["pos"],
+                    full_bias, st["enc_mask"],
+                    method=type(model).decode_step_k,
+                )
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (window[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+                n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                n_acc = jnp.minimum(n_acc, (maxl - 1) - st["pos"])
+                jj = jnp.arange(spec, dtype=jnp.int32)[None, :]
+                toks = jnp.where(jj < n_acc[:, None], greedy, pad)
+                # cut after the first EOS within the accepted run (kept)
+                is_eos = (toks == eos).astype(jnp.int32)
+                eos_before = jnp.cumsum(is_eos, axis=1) - is_eos
+                keep = (
+                    (jj < n_acc[:, None])
+                    & (eos_before == 0)
+                    & st["active"][:, None]
+                )
+                toks = jnp.where(keep, toks, pad)
+                n_eff = jnp.sum(keep.astype(jnp.int32), axis=1)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_lp = jnp.take_along_axis(
+                    lp, greedy[..., None], axis=2
+                )[..., 0]  # (S+1, K)
+                tok_lp = jnp.where(keep, tok_lp, 0.0)
+                new_pos = st["pos"] + n_eff
+                active = (
+                    st["active"]
+                    & ~jnp.any(keep & (toks == eos), axis=1)
+                    & (new_pos < maxl - 1)
+                )
+                # slide (prev, cur) to the last two tokens at the new pos
+                last = jnp.take_along_axis(
+                    greedy, jnp.maximum(n_eff - 1, 0)[:, None], axis=1
+                )[:, 0]
+                before = jnp.take_along_axis(
+                    greedy, jnp.maximum(n_eff - 2, 0)[:, None], axis=1
+                )[:, 0]
+                cur2 = jnp.where(n_eff > 0, last, st["cur"])
+                prev2 = jnp.where(
+                    n_eff >= 2, before,
+                    jnp.where(n_eff == 1, st["cur"], st["prev"]),
+                )
+                st2 = dict(st, **cache, cur=cur2, prev=prev2, pos=new_pos,
+                           active=active)
+                return st2, (toks, n_eff, tok_lp)
 
             def body(st, _):
                 cache = {n: st[n] for n in ("k", "v", "ck", "cv")}
@@ -281,6 +389,12 @@ class ContinuousEngine:
                 st2["active"] = active
                 return st2, (tok, tok_lp)
 
+            if spec > 1:
+                st, (toks, neff, lps) = jax.lax.scan(
+                    spec_body, st, None, length=self.horizon
+                )
+                # toks/lps (horizon, S+1, K); neff (horizon, S+1)
+                return st, toks, neff, lps
             st, (toks, lps) = jax.lax.scan(body, st, None, length=self.horizon)
             return st, toks, lps  # toks (horizon, S+1[, ncomp]); lps (horizon, S+1)
 
@@ -290,9 +404,22 @@ class ContinuousEngine:
         # a persistent dummy chunk (built at warmup) feeds advance on
         # dispatches with nothing to insert (slots = all-trash)
         self._dummy_chunk = None
+        # (src, valid) filler for the chunk draft-corpus args: real-width at
+        # warmup when spec is on, 1-wide unused placeholders otherwise
+        self._dummy_srcpair = (
+            jnp.zeros((self.C, 1), jnp.int32),
+            jnp.zeros((self.C, 1), bool),
+        )
         self._trash_slots = jnp.full((self.C,), self.S, jnp.int32)
         self._no_kill = jnp.zeros((self.S + 1,), bool)
         self._kill_pending: set = set()  # slot ids expired since last dispatch
+
+    def _unpack_advance(self, out):
+        """(state, toks, n_eff-or-None, lps) across the spec/plain returns."""
+        if self.spec_k > 1:
+            return out
+        st, toks, lps = out
+        return st, toks, None, lps
 
     def _dummy_request(self) -> _Request:
         return _Request(next(iter(self._known_ids)), "")
@@ -315,6 +442,25 @@ class ContinuousEngine:
         batch, _ = next(batch_iterator(ds, self.C, pad_final=True))
         return self.executor._model_batch(batch)
 
+    def _chunk_src(self, mb):
+        """(src, valid) draft-corpus arrays (C, Ls) from a featurized chunk,
+        or None when the family's batch carries no source ids."""
+        parts = [(mb[k], mb.get(m)) for k, m in _SPEC_SOURCES if k in mb]
+        if not parts:
+            return None
+        src = np.concatenate(
+            [np.asarray(p, np.int32) for p, _ in parts], axis=1
+        )
+        valid = np.concatenate(
+            [
+                (np.ones_like(np.asarray(p), bool) if m is None
+                 else np.asarray(m, bool))
+                for p, m in parts
+            ],
+            axis=1,
+        )
+        return jnp.asarray(src), jnp.asarray(valid)
+
     def _warmup(self):
         """Compile prefill + advance and allocate the slot state."""
         mb = self._chunk_batch([self._dummy_request()])
@@ -336,10 +482,21 @@ class ContinuousEngine:
         cur_shape = (S1,) if self._ncomp == 1 else (S1, self._ncomp)
         state["cur"] = jnp.full(cur_shape, self._bos, jnp.int32)
         state["active"] = jnp.zeros((S1,), bool)
-        state, toks, _ = self._advance(
+        if self.spec_k > 1:
+            src, valid = self._chunk_src(mb)
+            ls = src.shape[1]
+            state["src"] = jnp.zeros((S1, ls), jnp.int32)
+            state["valid"] = jnp.zeros((S1, ls), bool)
+            state["prev"] = jnp.full((S1,), self._bos, jnp.int32)
+            self._dummy_srcpair = (
+                jnp.zeros((self.C, ls), jnp.int32),
+                jnp.zeros((self.C, ls), bool),
+            )
+        d_src, d_valid = self._dummy_srcpair
+        state, toks, _, _ = self._unpack_advance(self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
-            self._trash_slots, self._no_kill,
-        )
+            d_src, d_valid, self._trash_slots, self._no_kill,
+        ))
         np.asarray(toks)  # host-materialize: block_until_ready is a no-op
         # on the remote backend (CLAUDE.md)
         # Call advance a SECOND time on its own donated output: steady-state
@@ -347,10 +504,10 @@ class ContinuousEngine:
         # fresh alloc above, and the backend re-specializes the executable on
         # first sight of it — measured 46 s through the tunnel. Pay that at
         # warmup, not on the first real request.
-        state, toks, _ = self._advance(
+        state, toks, _, _ = self._unpack_advance(self._advance(
             self._params, state, self._full_bias, cache, enc_mask,
-            self._trash_slots, self._no_kill,
-        )
+            d_src, d_valid, self._trash_slots, self._no_kill,
+        ))
         np.asarray(toks)
         self._state = state
 
@@ -435,6 +592,18 @@ class ContinuousEngine:
                 "reloads": self._reloads,
                 "cache_hits": self._cache_hits,
                 "slot_occupancy": round(occ, 3),
+                **(
+                    {
+                        "spec_k": self.spec_k,
+                        # mean accepted tokens per device step a live slot
+                        # consumed (1.0 = no draft ever accepted; up to
+                        # spec_k) — the measured accept rate
+                        "spec_tokens_per_step": round(
+                            self._spec_tokens / self._spec_steps, 3
+                        ) if self._spec_steps else None,
+                    }
+                    if self.spec_k > 1 else {}
+                ),
                 "queue_depth": self._queue.qsize(),
                 "p50_ms": pct(0.50),
                 "p95_ms": pct(0.95),
@@ -491,10 +660,11 @@ class ContinuousEngine:
             cache, full_bias, enc_mask = self._prefill(self._params, mb)
             self._full_bias = full_bias
             self._dummy_chunk = (cache, enc_mask)
-            state, toks, _ = self._advance(
+            d_src, d_valid = self._dummy_srcpair
+            state, toks, _, _ = self._unpack_advance(self._advance(
                 self._params, self._state, self._full_bias, cache, enc_mask,
-                self._trash_slots, self._no_kill,
-            )
+                d_src, d_valid, self._trash_slots, self._no_kill,
+            ))
             np.asarray(toks)
             self._state = state
         except Exception as e:  # pragma: no cover - surfaced to the caller
@@ -658,10 +828,16 @@ class ContinuousEngine:
             # ever has one producer
             with self._watchdog.guard("prefill dispatch"):
                 cache, _, enc_mask = self._prefill(self._params, mb)
+            srcpair = (
+                self._chunk_src(mb) if self.spec_k > 1
+                else self._dummy_srcpair
+            )
             slots = [self._free.pop() for _ in range(take)]
             slot_ids = np.full((self.C,), self.S, np.int32)  # pad -> trash
             slot_ids[:take] = slots
-            self._staged.append((cache, enc_mask, jnp.asarray(slot_ids)))
+            self._staged.append(
+                (cache, enc_mask, *srcpair, jnp.asarray(slot_ids))
+            )
             for s, r in zip(slots, reqs):
                 self._slot_req[s] = r
                 self._slot_toks[s] = []
@@ -788,12 +964,15 @@ class ContinuousEngine:
             # a horizon of decode steps; the next iteration's
             # featurize/prefill overlaps this decode via JAX async dispatch
             if self._staged:
-                chunk_cache, chunk_mask, slot_ids = self._staged.pop(0)
+                chunk_cache, chunk_mask, src, valid, slot_ids = (
+                    self._staged.pop(0)
+                )
                 for s in np.asarray(slot_ids):
                     if s < self.S:
                         self._live[int(s)] = True
             else:
                 chunk_cache, chunk_mask = self._dummy_chunk
+                src, valid = self._dummy_srcpair
                 slot_ids = self._trash_slots
             if self._kill_pending:
                 kill = np.zeros((self.S + 1,), bool)
@@ -803,9 +982,11 @@ class ContinuousEngine:
             else:
                 kill = self._no_kill
             with self._watchdog.guard("decode dispatch"):
-                self._state, toks, lps = self._advance(
-                    self._params, self._state, self._full_bias,
-                    chunk_cache, chunk_mask, slot_ids, kill,
+                self._state, toks, neff, lps = self._unpack_advance(
+                    self._advance(
+                        self._params, self._state, self._full_bias,
+                        chunk_cache, chunk_mask, src, valid, slot_ids, kill,
+                    )
                 )
             live = [s for s in range(self.S)
                     if self._live[s] and self._slot_req[s] is not None]
@@ -816,12 +997,28 @@ class ContinuousEngine:
             with self._watchdog.guard("decode materialize"):
                 toks_np = np.asarray(toks)  # blocks until the horizon completes
                 lps_np = np.asarray(lps)
+                neff_np = None if neff is None else np.asarray(neff)
             if self._unhealthy is not None:
                 return  # stall fired while blocked; futures already failed
+            spec_emitted = spec_steps = 0
             for step in range(self.horizon):
                 for s in live:
                     req = self._slot_req[s]
                     if req is None or not self._live[s]:
+                        continue
+                    if neff_np is not None:
+                        # speculative: 0..K accepted tokens this device step
+                        spec_steps += 1
+                        for j in range(int(neff_np[step, s])):
+                            t = int(toks_np[step, s, j])
+                            self._slot_toks[s].append(t)
+                            self._slot_lps[s].append(float(lps_np[step, s, j]))
+                            spec_emitted += 1
+                            if t == self._eos or len(
+                                self._slot_toks[s]
+                            ) >= self.max_answer_length - 1:
+                                self._finish_slot(s)
+                                break
                         continue
                     if self._ncomp == 1:
                         t = int(toks_np[step, s])
@@ -835,3 +1032,7 @@ class ContinuousEngine:
                         self.max_answer_length - 1
                     ):
                         self._finish_slot(s)
+            if spec_steps:
+                with self._stats_lock:
+                    self._spec_tokens += spec_emitted
+                    self._spec_steps += spec_steps

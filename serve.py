@@ -112,6 +112,12 @@ def parse_args():
                         "(refill granularity)")
     p.add_argument("--prefill-chunk", type=int, default=4,
                    help="continuous mode: rows per compiled prefill")
+    p.add_argument("--spec", type=int, default=None, metavar="K",
+                   help="continuous mode: per-slot speculative decoding — "
+                        "each slot verifies a K-token prompt-lookup draft "
+                        "window per device step (identical answers; faster "
+                        "when answers copy OCR/question text). Defaults to "
+                        "the config's SPEC_DECODE; 0 disables")
     return p.parse_args()
 
 
@@ -163,6 +169,10 @@ def build_engine(args):
             raise SystemExit(
                 f"--continuous does not support {', '.join(unsupported)} yet"
             )
+        spec_k = (
+            args.spec if args.spec is not None
+            else int(config.get("SPEC_DECODE", 0) or 0)
+        )
         return ContinuousEngine(
             ex, ocr_df, obj_df,
             num_slots=args.batch_size,
@@ -174,6 +184,7 @@ def build_engine(args):
             access_log=access_log,
             confidence=args.confidence,
             cache_size=args.cache_size,
+            spec_k=spec_k,
         )
     loaded = []
     if args.aot:

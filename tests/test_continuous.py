@@ -218,6 +218,60 @@ def test_phoneme_sal_continuous(tmp_path):
     assert got == want
 
 
+def test_speculative_slots_identical_and_counted(latr):
+    """spec_k > 1: every slot verifies a K-token prompt-lookup window per
+    device step. The exactness invariant (decode/speculative.py) means the
+    answers — AND confidence scores — must equal the plain engine's / the
+    executor's; stats expose the measured accept rate."""
+    import math
+
+    ex, ocr_df, config, qa = latr
+    want, want_scores = ex.infer(ex.val_data, 4, 10, return_scores=True)
+    with ContinuousEngine(ex, ocr_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10, confidence=True,
+                          spec_k=3) as eng:
+        assert eng.spec_k == 3
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=300) for f in futs]
+        # again with slots warm (refill path + slid prev/cur state)
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got2 = [f.result(timeout=300) for f in futs]
+    assert [g["answer"] for g in got] == want
+    assert got2 == got
+    for g, s in zip(got, want_scores):
+        assert abs(g["confidence"] - math.exp(s)) < 1e-3
+    s = eng.stats()
+    assert s["spec_k"] == 3
+    assert s["spec_tokens_per_step"] is not None
+    assert s["spec_tokens_per_step"] >= 0.1  # tokens actually flowed
+
+
+def test_speculative_refused_for_custom_vocab(tmp_path):
+    """The custom-decoder families draft from a mismatched vocabulary —
+    spec_k must be refused loudly (engine still serves, plain steps)."""
+    paths = make_latr_fixture(tmp_path)
+    yaml_path = tiny_latr_yaml(
+        paths, str(tmp_path / "ck"), NUM_EPOCHS=1, SAVE=False,
+        EXECUTOR="CustomizedLaTr_Executor", MODEL_CLASS="CustomizedLaTr",
+        MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+        DecodeTokenizer="ByteTokenizer", num_decoder_layers=2, n_head=4,
+        NUM_FREEZE_EPOCH=0, max_a_length=16, max_eval_length=10,
+        DTYPE="float32",
+    )
+    config = get_config(yaml_path)
+    ex = EXECUTORS.get(config.EXECUTOR)(config, mode="eval")
+    ocr_df = textlayout_ocr_adapt(config.ocr_path)
+    qa = pd.read_csv(paths["val"])
+    want = ex.infer(ex.val_data, 4, 10)
+    with ContinuousEngine(ex, ocr_df, num_slots=3, prefill_chunk=2,
+                          horizon=4, max_answer_length=10,
+                          spec_k=4) as eng:
+        assert eng.spec_k == 0  # refused: vocabulary mismatch
+        futs = [eng.submit(r.image_id, r.question) for r in qa.itertuples()]
+        got = [f.result(timeout=300) for f in futs]
+    assert got == want
+
+
 def test_missing_step_k_fails_fast(latr):
     """A model without a per-row-position step is rejected with a clear
     error (serve.py surfaces it; the gathered-batch engine still serves)."""
