@@ -52,7 +52,8 @@ BASE_DIMS = dict(
 
 def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
                  continuous: bool = False, horizon: int = 8,
-                 prefill_chunk: int = 4, vit_cache: bool = False):
+                 prefill_chunk: int = 4, vit_cache: bool = False,
+                 deadline_s: float = 0.0):
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
@@ -75,13 +76,13 @@ def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
         eng = ContinuousEngine(
             ex, ocr_df, num_slots=batch, prefill_chunk=prefill_chunk,
             horizon=horizon, max_answer_length=20, warmup=True,
-            max_queue=max_queue,
+            max_queue=max_queue, default_deadline_s=deadline_s,
         )
     else:
         eng = ServingEngine(
             ex, ocr_df, batch_size=batch, max_wait_ms=30.0,
             max_answer_length=20, warmup=True, max_queue=max_queue,
-            buckets=buckets,
+            buckets=buckets, default_deadline_s=deadline_s,
         )
     log(f"engine up (warmup compile {time.perf_counter() - t0:.1f}s)")
     ids = sorted(eng._known_ids)
@@ -130,6 +131,8 @@ def open_loop(eng, ids, rate: float, duration: float, seed: int = 0):
             )
 
             def on_done(fut, t_sub=t_sub):
+                if fut.cancelled() or fut.exception() is not None:
+                    return  # expired/failed: keep completed-latency clean
                 t = (time.monotonic() - t_sub) * 1e3
                 with lock:
                     lats.append(t)
@@ -189,6 +192,9 @@ def main():
                    help="serve with VIT_CACHE: true (frozen-ViT encoding "
                         "table; fixture traffic rotates over 8 images, so "
                         "steady state is all cache hits)")
+    p.add_argument("--deadline-s", type=float, default=3.0,
+                   help="deadline for the sustained-overload shedding cell "
+                        "(0 skips the cell)")
     p.add_argument("--rates", default="",
                    help="comma list of absolute offered rates (req/s) for "
                         "the under/near/over/overload cells, overriding the "
@@ -274,6 +280,32 @@ def main():
     runs.append(r)
     log(f"overload: {r}")
     eng2.stop()
+
+    # deadline shedding under SUSTAINED overload: every request carries a
+    # default deadline; queued/slotted requests whose deadline passes are
+    # expired (TimeoutError) instead of serving stale answers, so completed
+    # latency stays bounded near the deadline while goodput holds
+    if args.deadline_s > 0:
+        eng3, ids = build_engine(
+            args.work + "_dl", args.batch, max_queue=-1,
+            continuous=args.continuous, horizon=args.horizon,
+            prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
+            deadline_s=args.deadline_s,
+        )
+        rate = (fixed[3] if fixed and len(fixed) == 4
+                else (cap if cap is not None else 0) * 2.0)
+        s0 = eng3.stats()
+        r = open_loop(eng3, ids, rate=rate,
+                      duration=min(args.duration, 20.0), seed=123)
+        s1 = eng3.stats()
+        r.update(
+            label="overload_deadline_shed",
+            deadline_s=args.deadline_s,
+            expired=s1.get("expired", 0) - s0.get("expired", 0),
+        )
+        runs.append(r)
+        log(f"deadline-shed: {r}")
+        eng3.stop()
 
     print(json.dumps({
         "bench": "serving_open_loop",
