@@ -53,7 +53,9 @@ BASE_DIMS = dict(
 def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
                  continuous: bool = False, horizon: int = 8,
                  prefill_chunk: int = 4, vit_cache: bool = False,
-                 deadline_s: float = 0.0):
+                 deadline_s: float = 0.0, family: str = "latr"):
+    import pandas as pd
+
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
     from phoneme_vqa_tpu.config import get_config
     from phoneme_vqa_tpu.data.adapters import textlayout_ocr_adapt
@@ -62,11 +64,36 @@ def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
     from phoneme_vqa_tpu.utils.registry import EXECUTORS
 
     paths = make_latr_fixture(work, n_images=8, n_rows=16, image_hw=224)
+    overrides = {}
+    if family == "phoneme":
+        # PhonemeLaTr at the reference preset's shape (configs/phonemelatr.yaml):
+        # frozen base-T5 encoder + 4-layer custom triple-head phoneme decoder.
+        # The phoneme vocab is built from the fixture answers, as the
+        # reference builds it from its annotation files.
+        ann = {
+            "annotations": [
+                {"question": r.question, "answers": [r.answer]}
+                for r in pd.read_csv(paths["train"]).itertuples()
+            ]
+        }
+        ann_path = os.path.join(work, "annotations.json")
+        with open(ann_path, "w", encoding="utf-8") as f:
+            json.dump(ann, f, ensure_ascii=False)
+        overrides = dict(
+            EXECUTOR="PhonemeLaTr_Executor", MODEL_CLASS="PhonemeLaTr",
+            MODEL_MOD_CONFIG_CLASS="CustomizedLaTr_config",
+            vocab_path=os.path.join(work, "phoneme_vocab.json"),
+            annotation_paths=[ann_path],
+            num_decoder_layers=4, n_head=12, NUM_FREEZE_EPOCH=0,
+            isgreedy=True, num_beam=1,
+        )
+    elif family != "latr":
+        raise SystemExit(f"unknown --family {family}")
     yaml_path = tiny_latr_yaml(
         paths, os.path.join(work, "ck"), NUM_EPOCHS=1, SAVE=False,
         max_ocr_element=100, max_ocr_length=100, max_q_length=30,
         max_a_length=20, max_eval_length=20, DTYPE="bfloat16", NUMWORKERS=2,
-        VIT_CACHE=vit_cache, **BASE_DIMS,
+        VIT_CACHE=vit_cache, **BASE_DIMS, **overrides,
     )
     config = get_config(yaml_path)
     ex = EXECUTORS.get(config.EXECUTOR)(config, mode="serve")
@@ -192,6 +219,9 @@ def main():
                    help="serve with VIT_CACHE: true (frozen-ViT encoding "
                         "table; fixture traffic rotates over 8 images, so "
                         "steady state is all cache hits)")
+    p.add_argument("--family", default="latr", choices=["latr", "phoneme"],
+                   help="model family for the engine under test (phoneme = "
+                        "PhonemeLaTr triple-stream custom decoder)")
     p.add_argument("--deadline-s", type=float, default=3.0,
                    help="deadline for the sustained-overload shedding cell "
                         "(0 skips the cell)")
@@ -244,7 +274,7 @@ def main():
     eng, ids = build_engine(
         args.work, args.batch, continuous=args.continuous,
         horizon=args.horizon, prefill_chunk=args.prefill_chunk,
-        vit_cache=args.vit_cache,
+        vit_cache=args.vit_cache, family=args.family,
     )
     # with all four rates pinned the flood probe only feeds the report —
     # skip the (expensive) probe and report null instead
@@ -272,6 +302,7 @@ def main():
         args.work + "_bp", args.batch, max_queue=-1,
         continuous=args.continuous, horizon=args.horizon,
         prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
+        family=args.family,
     )
     r = open_loop(eng2, ids,
                   rate=fixed[3] if fixed and len(fixed) == 4 else cap * 2.0,
@@ -290,7 +321,7 @@ def main():
             args.work + "_dl", args.batch, max_queue=-1,
             continuous=args.continuous, horizon=args.horizon,
             prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
-            deadline_s=args.deadline_s,
+            deadline_s=args.deadline_s, family=args.family,
         )
         rate = (fixed[3] if fixed and len(fixed) == 4
                 else (cap if cap is not None else 0) * 2.0)
@@ -310,6 +341,7 @@ def main():
     print(json.dumps({
         "bench": "serving_open_loop",
         "engine": "continuous" if args.continuous else "gathered",
+        "family": args.family,
         "batch": args.batch,
         "vit_cache": bool(args.vit_cache),
         "flood_capacity_answers_per_sec": (

@@ -136,53 +136,61 @@ def main():
         val = jnp.where(hit, 1e9, -1e9).astype(logits.dtype)
         return logits.at[..., eos].set(val)
 
+    # Everything the regimes vary (per-row target lengths) and everything
+    # big (params, caches) is an ARGUMENT of the jitted variants: one
+    # compile per variant, reused across all three regimes. Closing over
+    # them instead would bake them in as constants and recompile 3x.
+    @jax.jit
+    def batch_variant(params, st_cache, st_mask, tl_b):
+        def one(carry, xs):
+            cache, enc_mask, tlb = xs
+
+            def step(cur, cache, i):
+                logits, cache = model.apply(
+                    {"params": params}, cur, cache, i, full_bias,
+                    enc_mask, method=type(model).decode_step,
+                )
+                return forced(logits, (i + 1) == tlb), cache
+
+            out = greedy_decode(step, cache, B, MAXL, bos, eos, pad)
+            return carry, out
+
+        _, outs = jax.lax.scan(one, None, (st_cache, st_mask, tl_b))
+        return outs.reshape(N, MAXL)
+
+    @jax.jit
+    def pool_variant(params, p_cache, pool_mask_tl):
+        # the pool step sees only (tokens, cache, pos, enc_mask) — each
+        # row's target length rides as an extra trailing enc_mask column
+        # so the refill gather carries it with the row
+        def step_k(tokens, cache, pos, enc_mask_tl):
+            enc_mask, tls = enc_mask_tl[:, :-1], enc_mask_tl[:, -1]
+            logits, cache = model.apply(
+                {"params": params}, tokens, cache, pos, full_bias,
+                enc_mask, method=type(model).decode_step_k,
+            )
+            return forced(logits, ((pos + 1) == tls)[:, None]), cache
+
+        return pool_greedy_decode(
+            step_k, p_cache, pool_mask_tl, B, MAXL, bos, eos, pad
+        )
+
     def run_regime(name, lengths):
         tl = jnp.asarray(lengths, jnp.int32)  # (N,) emitted tokens incl. EOS
-        tl_b = tl.reshape(n_batches, B)
-
-        @jax.jit
-        def batch_variant(params):
-            def one(carry, xs):
-                cache, enc_mask, tlb = xs
-
-                def step(cur, cache, i):
-                    logits, cache = model.apply(
-                        {"params": params}, cur, cache, i, full_bias,
-                        enc_mask, method=type(model).decode_step,
-                    )
-                    return forced(logits, (i + 1) == tlb), cache
-
-                out = greedy_decode(step, cache, B, MAXL, bos, eos, pad)
-                return carry, out
-
-            _, outs = jax.lax.scan(
-                one, None, (stacked_cache, stacked_mask, tl_b)
-            )
-            return outs.reshape(N, MAXL)
-
-        # the pool step sees only (tokens, cache, pos, enc_mask) — smuggle
-        # each row's target length as an extra trailing enc_mask column so
-        # it rides the refill gather with the row
-        pool_mask_tl = jnp.concatenate([pool_mask, tl[:, None]], axis=1)
-
-        @jax.jit
-        def pool_variant(params):
-            def step_k(tokens, cache, pos, enc_mask_tl):
-                enc_mask, tls = enc_mask_tl[:, :-1], enc_mask_tl[:, -1]
-                logits, cache = model.apply(
-                    {"params": params}, tokens, cache, pos, full_bias,
-                    enc_mask, method=type(model).decode_step_k,
-                )
-                return forced(logits, ((pos + 1) == tls)[:, None]), cache
-
-            return pool_greedy_decode(
-                step_k, pool_cache, pool_mask_tl, B, MAXL, bos, eos, pad
-            )
-
+        tl_b = jax.device_put(tl.reshape(n_batches, B))
+        pool_mask_tl = jax.device_put(
+            jnp.concatenate([pool_mask, tl[:, None]], axis=1)
+        )
+        variants = {
+            "batch": lambda: batch_variant(
+                params, stacked_cache, stacked_mask, tl_b
+            ),
+            "pool": lambda: pool_variant(params, pool_cache, pool_mask_tl),
+        }
         results = {}
-        for label, fn in (("batch", batch_variant), ("pool", pool_variant)):
+        for label, fn in variants.items():
             t0 = time.perf_counter()
-            out = np.asarray(fn(params))
+            out = np.asarray(fn())
             compile_s = time.perf_counter() - t0
             # emitted length = the forced EOS position (bos == pad == 0 for
             # T5, so counting non-pad tokens would miscount)
@@ -193,7 +201,7 @@ def main():
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                np.asarray(fn(params))
+                np.asarray(fn())
                 times.append(time.perf_counter() - t0)
             ms = float(np.median(times) * 1000)
             results[label] = ms
