@@ -28,6 +28,14 @@ Exactness: each row decodes with the same step math as `greedy_decode`
 the per-row step's different reduction order can flip near-tie argmaxes (the
 repo-wide caveat, README). Opt-in via ``EVAL_CONTINUOUS: true``.
 
+Measured verdict (round 5, TPU v5e, LaTr-base): the step savings are REAL
+(~1.6x fewer device steps at the realistic 3-20-token mix) but the per-step
+refill gather costs more than it saves — batch greedy wins every probed
+regime (pool 5.4x slower at S=16, 3.2x at S=64; 1.4-1.7x slower even at the
+all-equal-lengths control). See docs/DESIGN.md "Deliberate no's" and
+``scripts/probe_eval_slots.py``. The default stays batch greedy; this path
+remains for length mixes with rare extreme outliers (max >> mean).
+
 The reference has no counterpart (its decode re-runs the full prefix per
 token, one batch at a time — `/root/reference/core/model/CustomizedLaTr.py:
 146-184`); this is a beyond-reference throughput feature.

@@ -53,7 +53,8 @@ BASE_DIMS = dict(
 def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
                  continuous: bool = False, horizon: int = 8,
                  prefill_chunk: int = 4, vit_cache: bool = False,
-                 deadline_s: float = 0.0, family: str = "latr"):
+                 deadline_s: float = 0.0, family: str = "latr",
+                 spec_k: int = 0):
     import pandas as pd
 
     from phoneme_vqa_tpu import registry_setup  # noqa: F401
@@ -104,6 +105,7 @@ def build_engine(work: str, batch: int, max_queue: int = 0, buckets=None,
             ex, ocr_df, num_slots=batch, prefill_chunk=prefill_chunk,
             horizon=horizon, max_answer_length=20, warmup=True,
             max_queue=max_queue, default_deadline_s=deadline_s,
+            spec_k=spec_k,
         )
     else:
         eng = ServingEngine(
@@ -219,6 +221,9 @@ def main():
                    help="serve with VIT_CACHE: true (frozen-ViT encoding "
                         "table; fixture traffic rotates over 8 images, so "
                         "steady state is all cache hits)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="per-slot speculative decoding with K-token "
+                        "prompt-lookup drafts (continuous engine only)")
     p.add_argument("--family", default="latr", choices=["latr", "phoneme"],
                    help="model family for the engine under test (phoneme = "
                         "PhonemeLaTr triple-stream custom decoder)")
@@ -274,7 +279,7 @@ def main():
     eng, ids = build_engine(
         args.work, args.batch, continuous=args.continuous,
         horizon=args.horizon, prefill_chunk=args.prefill_chunk,
-        vit_cache=args.vit_cache, family=args.family,
+        vit_cache=args.vit_cache, family=args.family, spec_k=args.spec,
     )
     # with all four rates pinned the flood probe only feeds the report —
     # skip the (expensive) probe and report null instead
@@ -293,6 +298,8 @@ def main():
         runs.append(r)
         log(f"{label}: {r}")
 
+    spec_rate = eng.stats().get("spec_tokens_per_step") if args.spec else None
+
     # overload with a SANE bounded queue (auto: 4x batch): the
     # 503/backpressure path must fire while goodput HOLDS near capacity —
     # a bound below 2x batch starves the batcher into partial decodes
@@ -302,7 +309,7 @@ def main():
         args.work + "_bp", args.batch, max_queue=-1,
         continuous=args.continuous, horizon=args.horizon,
         prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
-        family=args.family,
+        family=args.family, spec_k=args.spec,
     )
     r = open_loop(eng2, ids,
                   rate=fixed[3] if fixed and len(fixed) == 4 else cap * 2.0,
@@ -321,7 +328,7 @@ def main():
             args.work + "_dl", args.batch, max_queue=-1,
             continuous=args.continuous, horizon=args.horizon,
             prefill_chunk=args.prefill_chunk, vit_cache=args.vit_cache,
-            deadline_s=args.deadline_s, family=args.family,
+            deadline_s=args.deadline_s, family=args.family, spec_k=args.spec,
         )
         rate = (fixed[3] if fixed and len(fixed) == 4
                 else (cap if cap is not None else 0) * 2.0)
@@ -342,6 +349,8 @@ def main():
         "bench": "serving_open_loop",
         "engine": "continuous" if args.continuous else "gathered",
         "family": args.family,
+        "spec_k": args.spec,
+        **({"spec_tokens_per_step": spec_rate} if spec_rate else {}),
         "batch": args.batch,
         "vit_cache": bool(args.vit_cache),
         "flood_capacity_answers_per_sec": (
