@@ -165,6 +165,7 @@ class ContinuousEngine:
         self._served = 0
         self._failed = 0
         self._expired = 0
+        self._service_ewma = 0.0  # slotted->finished seconds, viability gate
         self._dispatches = 0
         self._latencies_ms: list = []
         self._slot_steps = 0  # slot-steps decoded (occupancy numerator)
@@ -592,6 +593,7 @@ class ContinuousEngine:
                 "reloads": self._reloads,
                 "cache_hits": self._cache_hits,
                 "slot_occupancy": round(occ, 3),
+                "service_ewma_s": round(self._service_ewma, 3),
                 **(
                     {
                         "spec_k": self.spec_k,
@@ -797,12 +799,22 @@ class ContinuousEngine:
         now = time.monotonic()
         live = []
         n_expired = 0
+        # viability gate: a request whose REMAINING deadline is under the
+        # measured per-request service time (EWMA of slotted->finished)
+        # would only expire mid-decode after burning slot steps — shed it
+        # while queued instead. Measured (round 5, sustained 2x overload,
+        # 3 s deadline): without this every slotted request expired
+        # mid-decode and goodput collapsed to ~4/s against a ~30/s
+        # capacity; shedding early keeps slots on answers that can finish.
+        min_left = self._service_ewma
         for r in self._waiting:
-            if r.deadline and r.deadline < now:
+            if r.deadline and r.deadline - now < min_left:
                 self._record(r, "expired")
-                r.future.set_exception(
-                    TimeoutError("deadline exceeded while queued")
-                )
+                r.future.set_exception(TimeoutError(
+                    "deadline exceeded while queued" if r.deadline < now
+                    else f"deadline cannot be met: {r.deadline - now:.2f}s "
+                         f"left < {min_left:.2f}s estimated service time"
+                ))
                 n_expired += 1
             else:
                 live.append(r)
@@ -838,7 +850,9 @@ class ContinuousEngine:
             self._staged.append(
                 (cache, enc_mask, *srcpair, jnp.asarray(slot_ids))
             )
+            t_ins = time.monotonic()
             for s, r in zip(slots, reqs):
+                r.t_slotted = t_ins
                 self._slot_req[s] = r
                 self._slot_toks[s] = []
                 self._slot_lps[s] = []
@@ -882,6 +896,12 @@ class ContinuousEngine:
                                           else answer),
                          decode_tokens=len(toks))
             req.future.set_result(answer)
+            if req.t_slotted is not None:
+                dt = time.monotonic() - req.t_slotted
+                self._service_ewma = (
+                    dt if not self._service_ewma
+                    else 0.25 * dt + 0.75 * self._service_ewma
+                )
             with self._stats_lock:
                 self._served += 1
                 self._latencies_ms.append(

@@ -42,7 +42,7 @@ log = get_logger(__name__)
 
 class _Request:
     __slots__ = ("image_id", "question", "future", "t_submit", "deadline",
-                 "adapter")
+                 "adapter", "t_slotted")
 
     def __init__(self, image_id, question, deadline=None, adapter=None):
         self.image_id = image_id
@@ -51,6 +51,7 @@ class _Request:
         self.t_submit = time.monotonic()
         self.deadline = deadline  # absolute monotonic time, or None
         self.adapter = adapter  # LoRA adapter name, or None = base
+        self.t_slotted = None  # when device work started (EWMA input)
 
 
 def featurize_requests(executor, ocr_df, obj_df, reqs: List[_Request]):
@@ -216,6 +217,7 @@ class ServingEngine:
         self._swap_lock = threading.Lock()
         self._served = 0
         self._failed = 0
+        self._service_ewma = 0.0  # claim->resolve seconds, viability gate
         self._batches = 0
         self._cache_hits = 0
         self._reloads = 0
@@ -418,6 +420,7 @@ class ServingEngine:
                 "cache_hits": self._cache_hits,
                 "reloads": self._reloads,
                 "expired": self._expired,
+                "service_ewma_s": round(self._service_ewma, 3),
                 "adapter_switches": self._adapter_switches,
                 "bucket_batches": {
                     str(k): v for k, v in sorted(self._bucket_batches.items())
@@ -681,16 +684,28 @@ class ServingEngine:
             reqs = [r for r in reqs if r.future.set_running_or_notify_cancel()]
             with self._inflight_lock:  # visible to the stall handler
                 self._inflight_reqs.update(reqs)
-            # shed expired requests BEFORE featurization/decode: device time
-            # only goes to answers somebody is still waiting for
+            # shed non-viable requests BEFORE featurization/decode: device
+            # time only goes to answers somebody is still waiting for. A
+            # request whose REMAINING deadline is under the measured service
+            # time (EWMA of claim->resolve) would only expire mid-decode
+            # after burning a batch seat — shed it now instead (measured:
+            # without this, sustained 2x overload with a 3 s deadline
+            # collapsed goodput because every slotted request expired
+            # mid-decode; with shed-before-slot goodput holds near capacity)
             now = time.monotonic()
-            expired = [r for r in reqs if r.deadline and r.deadline < now]
-            reqs = [r for r in reqs if not (r.deadline and r.deadline < now)]
+            min_left = self._service_ewma
+            viable = lambda r: not r.deadline or r.deadline - now >= min_left
+            expired = [r for r in reqs if not viable(r)]
+            reqs = [r for r in reqs if viable(r)]
             for r in expired:  # record BEFORE resolving: a client observing
                 self._record(r, "expired")  # the resolution sees a complete log
-                fail_future(
-                    r.future, TimeoutError("deadline exceeded while queued")
-                )
+                fail_future(r.future, TimeoutError(
+                    "deadline exceeded while queued" if r.deadline < now
+                    else f"deadline cannot be met: {r.deadline - now:.2f}s "
+                         f"left < {min_left:.2f}s estimated service time"
+                ))
+            for r in reqs:
+                r.t_slotted = now
             if expired:
                 with self._inflight_lock:
                     self._inflight_reqs.difference_update(expired)
@@ -840,6 +855,13 @@ class ServingEngine:
             with self._inflight_lock:
                 self._inflight_reqs.difference_update(reqs)
                 self._inflight_reqs.difference_update(late)
+            for r in reqs:
+                if r.t_slotted is not None:
+                    dt = now - r.t_slotted
+                    self._service_ewma = (
+                        dt if not self._service_ewma
+                        else 0.25 * dt + 0.75 * self._service_ewma
+                    )
             with self._stats_lock:
                 self._served += len(reqs)
                 self._expired += len(late)

@@ -120,6 +120,36 @@ def test_deadline_shedding_and_unknown_id(latr):
         assert isinstance(eng.answer(row.image_id, row.question, timeout=120), str)
 
 
+def test_shed_before_slot_viability(latr):
+    """A queued request whose REMAINING deadline is under the measured
+    per-request service time (EWMA of slotted->finished) is shed while
+    queued ("deadline cannot be met"), never burning slot steps — the fix
+    for the measured round-5 overload collapse where every slotted request
+    expired mid-decode. No-deadline traffic is unaffected and keeps the
+    EWMA learning."""
+    ex, ocr_df, config, qa = latr
+    rows = list(qa.itertuples())
+    with ContinuousEngine(ex, ocr_df, num_slots=2, prefill_chunk=2,
+                          horizon=4, max_answer_length=10) as eng:
+        # one served answer seeds the service-time estimate
+        assert isinstance(
+            eng.answer(rows[0].image_id, rows[0].question, timeout=300), str
+        )
+        assert eng.stats()["service_ewma_s"] > 0
+        eng._service_ewma = 3600.0  # force: no finite deadline is viable
+        f = eng.submit(rows[1].image_id, rows[1].question, deadline_s=30.0)
+        with pytest.raises(TimeoutError, match="cannot be met"):
+            f.result(timeout=60)
+        assert eng.stats()["expired"] == 1
+        # viability never rejects deadline-free traffic, and serving it
+        # re-learns the estimate from real completions
+        assert isinstance(
+            eng.answer(rows[1].image_id, rows[1].question, timeout=300), str
+        )
+        assert eng.stats()["served"] == 2
+        assert eng._service_ewma < 3600.0
+
+
 def test_customized_family_continuous(tmp_path):
     """CustomizedLaTr (custom post-LN decoder, byte answer vocabulary)
     through the slot decode: answers — through the pluggable tokenizer's

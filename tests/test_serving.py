@@ -933,6 +933,41 @@ def test_deadline_expiry_and_prometheus_metrics():
     assert "# TYPE phonovqa_queue_depth gauge" in text
 
 
+def test_shed_before_batch_viability():
+    """A queued request whose REMAINING deadline is under the measured
+    service-time EWMA (claim->resolve) is shed at batch formation
+    ("deadline cannot be met") instead of burning a batch seat and
+    expiring mid-decode; deadline-free traffic is unaffected."""
+    import time as _time
+
+    decoded = []
+
+    class _Slow:
+        def _make_dataset(self, qa, ocr, obj=None):
+            return list(range(len(qa)))
+
+        def infer(self, ds, bs, ml, return_scores=False):
+            decoded.append(len(ds))
+            _time.sleep(0.05)
+            return ["ans"] * len(ds)
+
+    ocr = pd.DataFrame({"image_id": [1.0, 2.0]})
+    with ServingEngine(_Slow(), ocr, batch_size=1, max_wait_ms=1,
+                       warmup=False) as eng:
+        # one completion seeds the estimate
+        assert eng.answer(1.0, "seed", timeout=30) == "ans"
+        assert eng.stats()["service_ewma_s"] > 0
+        eng._service_ewma = 3600.0  # force: no finite deadline is viable
+        doomed = eng.submit(2.0, "doomed", deadline_s=30.0)
+        with pytest.raises(TimeoutError, match="cannot be met"):
+            doomed.result(timeout=30)
+        assert eng.answer(1.0, "free", timeout=30) == "ans"
+        s = eng.stats()
+        assert s["expired"] == 1 and s["served"] == 2
+        assert decoded == [1, 1]  # the doomed request never reached decode
+        assert eng._service_ewma < 3600.0  # real completions re-learn it
+
+
 def test_default_deadline_applies():
     """default_deadline_s stamps every submit; an idle engine still answers
     well inside it (no false expiry)."""
