@@ -562,6 +562,20 @@ class ContinuousEngine:
                 raise RuntimeError(f"engine unhealthy: {self._unhealthy}")
             if self._stopped:
                 raise RuntimeError("engine stopped")
+            # The Queue maxsize alone cannot bound the system: the worker
+            # drains it into self._waiting between dispatches, so qsize()
+            # alone is ~0 under load and every arrival would be admitted
+            # into an unbounded backlog (measured: p50 14.8 s at 2x
+            # overload with max_queue=64 — no backpressure at all). Bound
+            # queued + drained-but-unslotted together; staged chunks
+            # (<= 2*C) and live slots (S) are the only extra in-system
+            # slop past max_queue.
+            if self.max_queue and (
+                self._queue.qsize() + len(self._waiting) >= self.max_queue
+            ):
+                raise RuntimeError(
+                    f"serving queue full ({self.max_queue} pending)"
+                )
             try:
                 self._queue.put_nowait(req)
             except queue.Full:

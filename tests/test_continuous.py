@@ -302,6 +302,46 @@ def test_speculative_refused_for_custom_vocab(tmp_path):
     assert got == want
 
 
+def test_backpressure_counts_drained_waiting_list(latr):
+    """max_queue bounds queued + drained-but-unslotted requests TOGETHER.
+
+    The worker drains the bounded Queue into the _waiting list between
+    dispatches, so Queue.maxsize alone exerts no backpressure — measured
+    round 5 at 2x overload with max_queue=64: zero rejections and p50
+    14.8 s (an unbounded backlog). submit must reject once
+    qsize + len(_waiting) reaches the bound, whichever side the backlog
+    sits on."""
+    ex, ocr_df, _, qa = latr
+    rows = list(qa.itertuples())
+
+    class _DrainOnly(ContinuousEngine):
+        # worker that drains the queue into _waiting but never slots —
+        # the exact state the production worker is in between dispatches
+        def _run(self):
+            while self._drain_queue(block=True):
+                time.sleep(0.001)
+            exc = RuntimeError("drain-only worker stopped")
+            for r in self._waiting:
+                r.future.set_exception(exc)
+
+    bound = 5
+    with _DrainOnly(ex, ocr_df, num_slots=2, prefill_chunk=2, horizon=4,
+                    max_answer_length=10, warmup=False,
+                    max_queue=bound) as eng:
+        futs = [eng.submit(rows[i % len(rows)].image_id, f"q{i}")
+                for i in range(bound)]
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and len(eng._waiting) < bound:
+            time.sleep(0.01)
+        assert len(eng._waiting) == bound and eng._queue.qsize() == 0
+        with pytest.raises(RuntimeError, match="queue full"):
+            eng.submit(rows[0].image_id, "one too many")
+    # stop() resolves the never-slotted futures loudly rather than hanging
+    for f in futs:
+        with pytest.raises(RuntimeError, match="drain-only"):
+            f.result(timeout=10)
+
+
 def test_missing_step_k_fails_fast(latr):
     """A model without a per-row-position step is rejected with a clear
     error (serve.py surfaces it; the gathered-batch engine still serves)."""
