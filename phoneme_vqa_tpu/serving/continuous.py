@@ -86,7 +86,10 @@ class ContinuousEngine:
     prefill_chunk: rows per compiled prefill executable; partial chunks pad
         into a trash slot.
     horizon: decode steps per dispatch (refill granularity; amortizes the
-        per-dispatch overhead).
+        per-dispatch overhead). serve.py defaults to horizon=20 /
+        prefill_chunk=16 — the round-5 grid winner on both flood
+        throughput and low-load p50 (docs/probe_cont_config_r5.json);
+        the ctor keeps small defaults for cheap ad-hoc engines.
     max_answer_length: decode length cap (same meaning as executor.infer).
     max_queue: -1 auto (4 x num_slots), 0 unbounded, >0 explicit bound.
     spec_k: >1 turns on per-slot SPECULATIVE decoding: every slot verifies

@@ -107,10 +107,14 @@ def parse_args():
                         "the phoneme triple stream; --batch-size becomes the "
                         "slot count). Incompatible with --adapter/--buckets/"
                         "--aot for now")
-    p.add_argument("--horizon", type=int, default=8,
+    # 20/16 defaults from the round-5 config grid (docs/
+    # probe_cont_config_r5.json): at 16 slots they beat 8/4 on BOTH flood
+    # throughput (37.3 vs 21.5 answers/s; fewer dispatch round trips
+    # through the ~28 ms-overhead tunnel) and low-load p50 (508 vs 581 ms)
+    p.add_argument("--horizon", type=int, default=20,
                    help="continuous mode: decode steps per device dispatch "
                         "(refill granularity)")
-    p.add_argument("--prefill-chunk", type=int, default=4,
+    p.add_argument("--prefill-chunk", type=int, default=16,
                    help="continuous mode: rows per compiled prefill")
     p.add_argument("--spec", type=int, default=None, metavar="K",
                    help="continuous mode: per-slot speculative decoding — "
