@@ -77,8 +77,12 @@ class ContinuousEngine:
 
     Parameters
     ----------
-    executor: constructed executor (weights in place) of a stock-T5-decoder
-        family.
+    executor: constructed executor (weights in place) of ANY of the nine
+        families — stock-T5 decoders via ``T5Decoder.step_k``, the
+        Customized families via the custom decoder's per-row-position
+        window step, the phoneme families via the triple-stream variant
+        (the engine keys on ``decode_step_k`` presence and the answer
+        vocabulary's bos/eos/pad).
     ocr_df / obj_df: preloaded feature stores (as ``ServingEngine``).
     num_slots: concurrent request slots inside the decode program. Device
         cost per step scales with S, so size it near the expected
